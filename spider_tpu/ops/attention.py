@@ -1,0 +1,230 @@
+"""Fused multi-head attention for TPU.
+
+A Pallas flash-attention kernel (online softmax, blocked over both query and
+key/value) replaces the flash-attn/xformers CUDA kernels the reference relies
+on (cf. /root/reference/requirements.txt:43,
+/root/reference/qwen2.5omni_spider_web.py:100-103). Supports causal masking,
+grouped-query attention (Hq a multiple of Hkv) and padded KV lengths — enough
+for prefill; single-token decode uses the XLA einsum path which is
+HBM-bound on the KV cache anyway.
+
+Layouts: q [B, T, Hq, D]; k, v [B, S, Hkv, D]; output [B, T, Hq, D].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (XLA): used on CPU, for tests, and for the VJP.
+# ---------------------------------------------------------------------------
+
+def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  causal: bool = True, sm_scale: Optional[float] = None,
+                  kv_len: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    B, T, Hq, D = q.shape
+    _, S, Hkv, _ = k.shape
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    group = Hq // Hkv
+    scale = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, group, D)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    logits = jnp.einsum("bthgd,bshd->bhgts", qf, kf) * scale
+    mask = jnp.ones((T, S), dtype=bool)
+    if causal:
+        q_pos = jnp.arange(T)[:, None] + (S - T)
+        k_pos = jnp.arange(S)[None, :]
+        mask = mask & (q_pos >= k_pos)
+    mask = jnp.broadcast_to(mask[None], (B, T, S))
+    if kv_len is not None:
+        mask = mask & (jnp.arange(S)[None, None, :] < kv_len[:, None, None])
+    logits = jnp.where(mask[:, None, None], logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scratch, l_scratch, acc_scratch,
+                  *, sm_scale: float, causal: bool, block_q: int,
+                  block_k: int, q_offset: int):
+    """Grid: (B, Hq, num_q_blocks, num_kv_blocks); kv innermost so the f32
+    accumulator scratch persists across kv iterations of one q block."""
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0) + q_offset
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+
+    run = True
+    if causal:
+        # Skip compute for blocks entirely above the diagonal.
+        run = (qi * block_q + q_offset + block_q - 1) >= (ki * block_k)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)  # [block_q, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [block_k, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [block_q, block_k]
+
+        mask = k_pos < kv_len_ref[0]
+        if causal:
+            mask = mask & (q_pos >= k_pos)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:]                           # [block_q, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_scratch[:] + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)             # [block_k, D]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+        m_scratch[:] = m_new
+        l_scratch[:] = l_new
+
+    @pl.when(ki == num_k - 1)
+    def _finalize():
+        l = l_scratch[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, causal, sm_scale, kv_len,
+                   block_q, block_k, q_offset):
+    B, T, Hq, D = q.shape
+    _, S, Hkv, _ = k.shape
+    group = Hq // Hkv
+
+    block_q = min(block_q, T)
+    block_k = min(block_k, S)
+    assert T % block_q == 0 and S % block_k == 0, (T, S, block_q, block_k)
+
+    # [B, H, T, D] layout for clean tiling.
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    if kv_len is None:
+        kv_len = jnp.full((B,), S, dtype=jnp.int32)
+
+    grid = (B, Hq, T // block_q, S // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, sm_scale=sm_scale, causal=causal,
+            block_q=block_q, block_k=block_k, q_offset=q_offset),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, qi, ki, *_, _g=group: (b, h // _g, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, qi, ki, *_, _g=group: (b, h // _g, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, D),
+                                   lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * T * S * D,
+            bytes_accessed=(qt.size + kt.size + vt.size + qt.size) * qt.dtype.itemsize,
+            transcendentals=B * Hq * T * S,
+        ),
+    )(kv_len, qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP (backward = recompute via the XLA reference,
+# which XLA fuses well; a dedicated Pallas backward is a later optimization).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8))
+def _flash_attention(q, k, v, causal, sm_scale, kv_len,
+                     block_q, block_k, q_offset):
+    return _flash_forward(q, k, v, causal, sm_scale, kv_len,
+                          block_q, block_k, q_offset)
+
+
+def _flash_fwd(q, k, v, causal, sm_scale, kv_len, block_q, block_k, q_offset):
+    out = _flash_forward(q, k, v, causal, sm_scale, kv_len,
+                         block_q, block_k, q_offset)
+    return out, (q, k, v, kv_len)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_k, q_offset,
+               residuals, g):
+    q, k, v, kv_len = residuals
+    def ref(q, k, v):
+        return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale,
+                             kv_len=kv_len)
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    causal: bool = True, sm_scale: Optional[float] = None,
+                    kv_len: Optional[jnp.ndarray] = None,
+                    block_q: int = 256, block_k: int = 256,
+                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """Fused attention. q [B,T,Hq,D]; k,v [B,S,Hkv,D] -> [B,T,Hq,D].
+
+    When T < S (KV-cached continuation) queries are assumed to be the LAST T
+    positions (causal offset S - T).
+    """
+    B, T, Hq, D = q.shape
+    _, S, Hkv, _ = k.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    # Tiny/ragged shapes: XLA path.
+    if not use_pallas or T % min(block_q, T) or S % min(block_k, S) or D % 128 or T < 8:
+        return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale,
+                             kv_len=kv_len)
+    return _flash_attention(q, k, v, causal, sm_scale, kv_len,
+                            block_q, block_k, S - T)

@@ -1,0 +1,120 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spider_tpu.ops.attention import flash_attention, mha_reference, _flash_forward
+from spider_tpu.ops.norms import layer_norm, rms_norm
+from spider_tpu.ops.rope import apply_rope, rope_inv_freq
+
+
+def test_rms_norm_matches_manual():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    w = jax.random.normal(jax.random.PRNGKey(1), (16,)) + 1.0
+    got = rms_norm(x, w)
+    want = x / np.sqrt(np.mean(np.square(np.asarray(x)), -1, keepdims=True) + 1e-6) * np.asarray(w)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_matches_manual():
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8))
+    w = jnp.ones((8,)) * 2.0
+    b = jnp.ones((8,)) * 0.5
+    got = layer_norm(x, w, b)
+    xn = np.asarray(x)
+    want = (xn - xn.mean(-1, keepdims=True)) / np.sqrt(xn.var(-1, keepdims=True) + 1e-5) * 2.0 + 0.5
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_rope_rotation_properties():
+    D = 64
+    inv = rope_inv_freq(D)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, D))
+    pos = jnp.arange(4)[None, :]
+    out = apply_rope(x, pos, inv)
+    # Norm preserved per pair.
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5)
+    # Position 0 is identity.
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(x[:, 0]), rtol=1e-6, atol=1e-6)
+    # Relative property: dot(q_m, k_n) depends only on m - n.
+    q = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1, D))
+    k = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 1, D))
+    def dot_at(m, n):
+        qm = apply_rope(q, jnp.array([[m]]), inv)
+        kn = apply_rope(k, jnp.array([[n]]), inv)
+        return float(jnp.sum(qm * kn))
+    assert dot_at(5, 3) == pytest.approx(dot_at(7, 5), rel=1e-4)
+
+
+def test_llama3_rope_scaling_changes_low_freqs():
+    scaling = dict(factor=8.0, low_freq_factor=1.0, high_freq_factor=4.0,
+                   original_max_position_embeddings=8192)
+    base = rope_inv_freq(128)
+    scaled = rope_inv_freq(128, llama3_scaling=scaling)
+    np.testing.assert_allclose(np.asarray(scaled[:4]), np.asarray(base[:4]), rtol=1e-6)
+    assert np.all(np.asarray(scaled[-4:]) < np.asarray(base[-4:]))
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("group", [1, 4])
+def test_flash_kernel_interpret_matches_reference(causal, group):
+    B, T, Hkv, D = 2, 256, 2, 128
+    Hq = Hkv * group
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, T, Hq, D), dtype=jnp.float32)
+    k = jax.random.normal(kk, (B, T, Hkv, D), dtype=jnp.float32)
+    v = jax.random.normal(kv, (B, T, Hkv, D), dtype=jnp.float32)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_forward(q, k, v, causal, D ** -0.5, None, 128, 128, 0)
+    want = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_kernel_kv_len_masking():
+    B, T, H, D = 1, 128, 1, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    kv_len = jnp.array([70], dtype=jnp.int32)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_forward(q, k, v, False, D ** -0.5, kv_len, 128, 128, 0)
+    want = mha_reference(q, k, v, causal=False, kv_len=kv_len)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_cpu_dispatch_and_grad():
+    B, T, H, D = 1, 32, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    out = flash_attention(q, k, v, causal=True)
+    want = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def loss(q):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    g = jax.grad(loss)(q)
+    assert g.shape == q.shape
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_cached_decode_offset():
+    # Queries are the last T positions of a longer KV (prefill + decode step).
+    B, S, H, D = 1, 64, 2, 64
+    T = 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    out = flash_attention(q, k, v, causal=True)
+    # Manual: full-length q where last T rows match.
+    qfull = jnp.concatenate([jax.random.normal(jax.random.PRNGKey(9), (B, S - T, H, D)), q], axis=1)
+    full = mha_reference(qfull, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full[:, -T:]), rtol=1e-5, atol=1e-5)
