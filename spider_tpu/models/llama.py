@@ -1,0 +1,356 @@
+"""TPU-native Llama-family decoder (flax.linen).
+
+Covers the roles of the reference's vendored HF Llama copies
+(/root/reference/spider/models/modeling_llama.py:599,
+ modeling_llama3.py — kept so hidden states/labels behave identically):
+  * per-layer hidden-state outputs (``output_hidden_states``) for the
+    signal-token alignment taps (cf. spider.py:1078-1147)
+  * extendable vocabulary (signal tokens resize embeddings; new rows trainable,
+    original rows freezable via an update mask — see parallel/partition.py)
+  * additive LoRA on configurable projections (peft analogue,
+    cf. base_model.py:58-71)
+  * functional KV cache for autoregressive decode.
+
+Architecture decisions are TPU-first: layers run under ``nn.scan`` (one
+compiled block, stacked params — fast compiles, natural remat boundary),
+attention is the Pallas flash kernel for prefill and an XLA einsum for
+single-token decode, all matmuls in bf16 with fp32 softmax/norms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spider_tpu.ops.attention import flash_attention, mha_reference
+from spider_tpu.ops.norms import rms_norm
+from spider_tpu.ops.rope import apply_rope, rope_inv_freq
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    r: int = 0                      # 0 disables LoRA
+    alpha: float = 21.0
+    dropout: float = 0.0
+    targets: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, float]] = None
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    lora: LoraConfig = dataclasses.field(default_factory=LoraConfig)
+    remat: bool = False
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    def extend_vocab(self, new_vocab_size: int) -> "LlamaConfig":
+        return dataclasses.replace(self, vocab_size=new_vocab_size)
+
+
+# Presets ---------------------------------------------------------------------
+
+def llama2_7b() -> LlamaConfig:
+    return LlamaConfig()
+
+
+def llama3_8b() -> LlamaConfig:
+    """DeepSeek-R1-Distill-Llama-8B shares this architecture."""
+    return LlamaConfig(
+        vocab_size=128256,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        max_position_embeddings=131072,
+        rope_theta=500000.0,
+        rope_scaling=dict(factor=8.0, low_freq_factor=1.0, high_freq_factor=4.0,
+                          original_max_position_embeddings=8192),
+    )
+
+
+def llama_tiny(vocab_size: int = 512, lora_r: int = 0) -> LlamaConfig:
+    """Small random-init config for CPU tests."""
+    return LlamaConfig(
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_theta=10000.0,
+        dtype=jnp.float32,
+        lora=LoraConfig(r=lora_r),
+    )
+
+
+# Modules ---------------------------------------------------------------------
+
+
+class LoraDense(nn.Module):
+    """Dense layer with optional additive LoRA branch: y = xW + (α/r)·xAB."""
+
+    features: int
+    use_bias: bool = False
+    lora_r: int = 0
+    lora_alpha: float = 21.0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
+            self.param_dtype)
+        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        if self.lora_r > 0:
+            lora_a = self.param(
+                "lora_a", nn.initializers.normal(stddev=0.02),
+                (in_features, self.lora_r), self.param_dtype)
+            lora_b = self.param(
+                "lora_b", nn.initializers.zeros, (self.lora_r, self.features),
+                self.param_dtype)
+            scale = self.lora_alpha / self.lora_r
+            y = y + scale * jnp.dot(
+                jnp.dot(x, lora_a.astype(self.dtype)), lora_b.astype(self.dtype))
+        return y
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_write_index, kv_cache=None, kv_len=None):
+        cfg = self.config
+        D = cfg.head_dim_
+        Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        lora = cfg.lora
+
+        def proj(name, features):
+            r = lora.r if name in lora.targets else 0
+            return LoraDense(features, lora_r=r, lora_alpha=lora.alpha,
+                             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                             name=name)
+
+        B, T, _ = x.shape
+        q = proj("q_proj", Hq * D)(x).reshape(B, T, Hq, D)
+        k = proj("k_proj", Hkv * D)(x).reshape(B, T, Hkv, D)
+        v = proj("v_proj", Hkv * D)(x).reshape(B, T, Hkv, D)
+
+        inv_freq = rope_inv_freq(D, cfg.rope_theta, cfg.rope_scaling)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        new_cache = None
+        if kv_cache is not None:
+            ck, cv = kv_cache  # [B, S_max, Hkv, D]
+            if jnp.ndim(kv_write_index) == 0:
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                                  (0, kv_write_index, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                                  (0, kv_write_index, 0, 0))
+            else:
+                # Per-sample write positions (right-padded batch decode).
+                def write_one(c, n, i):
+                    return jax.lax.dynamic_update_slice(c, n.astype(c.dtype),
+                                                        (i, 0, 0))
+
+                ck = jax.vmap(write_one)(ck, k, kv_write_index)
+                cv = jax.vmap(write_one)(cv, v, kv_write_index)
+            new_cache = (ck, cv)
+            if T == 1:
+                # Single-token decode: XLA einsum over the cache (HBM-bound).
+                out = mha_reference(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                                    causal=False, kv_len=kv_len)
+            else:
+                out = flash_attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                                      causal=True, kv_len=kv_len,
+                                      q_offset=kv_write_index)
+        else:
+            out = flash_attention(q, k, v, causal=True)
+
+        out = out.reshape(B, T, Hq * D)
+        out = proj("o_proj", cfg.hidden_size)(out)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        lora = cfg.lora
+
+        def proj(name, features):
+            r = lora.r if name in lora.targets else 0
+            return LoraDense(features, lora_r=r, lora_alpha=lora.alpha,
+                             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                             name=name)
+
+        gate = proj("gate_proj", cfg.intermediate_size)(x)
+        up = proj("up_proj", cfg.intermediate_size)(x)
+        return proj("down_proj", cfg.hidden_size)(nn.silu(gate) * up)
+
+
+class LlamaBlock(nn.Module):
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_write_index, kv_cache=None, kv_len=None):
+        cfg = self.config
+        w1 = self.param("input_layernorm", nn.initializers.ones,
+                        (cfg.hidden_size,), cfg.param_dtype)
+        attn_out, new_cache = LlamaAttention(cfg, name="self_attn")(
+            rms_norm(x, w1, cfg.rms_norm_eps), positions, kv_write_index,
+            kv_cache, kv_len)
+        x = x + attn_out
+        w2 = self.param("post_attention_layernorm", nn.initializers.ones,
+                        (cfg.hidden_size,), cfg.param_dtype)
+        x = x + LlamaMLP(cfg, name="mlp")(rms_norm(x, w2, cfg.rms_norm_eps))
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack under nn.scan: params stacked on a leading layer axis."""
+
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, inputs_embeds, positions, kv_write_index=0,
+                 kv_cache=None, kv_len=None, output_hidden_states=False):
+        cfg = self.config
+
+        block_cls = LlamaBlock
+        if cfg.remat:
+            block_cls = nn.remat(LlamaBlock, static_argnums=())
+
+        def body(block, x, positions, kv_write_index, layer_cache, kv_len):
+            out, new_cache = block(x, positions, kv_write_index,
+                                   layer_cache, kv_len)
+            return out, (out, new_cache)
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, 0, nn.broadcast),
+            out_axes=0,
+            length=cfg.num_hidden_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )
+        x = inputs_embeds.astype(cfg.dtype)
+        x, (layer_outputs, new_cache) = scan(
+            block_cls(cfg, name="layers"), x, positions, kv_write_index,
+            kv_cache, kv_len)
+
+        norm_w = self.param("norm", nn.initializers.ones, (cfg.hidden_size,),
+                            cfg.param_dtype)
+        final = rms_norm(x, norm_w, cfg.rms_norm_eps)
+
+        hidden_states = None
+        if output_hidden_states:
+            # HF convention: [embeds, layer_1..layer_{N-1} outputs, final norm]
+            # so hidden_states[-1] is the post-final-norm state
+            # (cf. modeling_llama.py — Spider's alignment_layer=[-1] taps this).
+            pre = jnp.concatenate(
+                [inputs_embeds.astype(cfg.dtype)[None],
+                 layer_outputs[:-1]], axis=0)
+            hidden_states = jnp.concatenate([pre, final[None]], axis=0)
+        return final, hidden_states, new_cache
+
+
+class LlamaForCausalLM(nn.Module):
+    config: LlamaConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="embed_tokens")
+        self.model = LlamaModel(cfg, name="model")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name="lm_head")
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        if self.config.tie_word_embeddings:
+            return self.embed_tokens.attend(hidden.astype(self.config.dtype))
+        return self.lm_head(hidden)
+
+    def __call__(self, input_ids=None, inputs_embeds=None, positions=None,
+                 kv_write_index=0, kv_cache=None, kv_len=None,
+                 output_hidden_states=False):
+        """Returns (logits, hidden_states | None, new_kv_cache | None).
+
+        hidden_states: [L+1, B, T, H] stacked (embeds, layers 1..N-1, final
+        norm) matching HF's output_hidden_states tuple indexing.
+        """
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        B, T = inputs_embeds.shape[:2]
+        if positions is None:
+            positions = jnp.arange(T, dtype=jnp.int32)[None, :] + kv_write_index
+        final, hidden_states, new_cache = self.model(
+            inputs_embeds, positions, kv_write_index, kv_cache, kv_len,
+            output_hidden_states)
+        logits = self.logits(final)
+        return logits, hidden_states, new_cache
+
+
+def init_kv_cache(cfg: LlamaConfig, batch_size: int, max_len: int,
+                  dtype=None):
+    """Per-layer stacked KV cache matching the scanned param layout:
+    (k, v) each [L, B, max_len, Hkv, D]."""
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_hidden_layers, batch_size, max_len,
+             cfg.num_key_value_heads, cfg.head_dim_)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       ignore_index: int = -100) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shifted LM loss + token accuracy (cf. spider.py:1000-1002,1338-1348).
+
+    logits [B, T, V]; labels [B, T] with ignore_index outside answer spans.
+    """
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    mask = targets != ignore_index
+    safe_targets = jnp.where(mask, targets, 0)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, safe_targets[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(mask.sum(), 1)
+    loss = jnp.where(mask, nll, 0.0).sum() / denom
+    preds = jnp.argmax(logits, axis=-1)
+    acc = (jnp.where(mask, preds == safe_targets, False).sum() / denom)
+    return loss, acc

@@ -30,7 +30,9 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   causal: bool = True, sm_scale: Optional[float] = None,
-                  kv_len: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  kv_len: Optional[jnp.ndarray] = None,
+                  q_offset: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """See flash_attention for the q_offset/kv_len conventions."""
     B, T, Hq, D = q.shape
     _, S, Hkv, _ = k.shape
     assert Hq % Hkv == 0, (Hq, Hkv)
@@ -40,14 +42,18 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     logits = jnp.einsum("bthgd,bshd->bhgts", qf, kf) * scale
-    mask = jnp.ones((T, S), dtype=bool)
+    live = kv_len[:, None, None] if kv_len is not None else jnp.full((B, 1, 1), S)
+    if q_offset is None:
+        # No kv_len: queries are the suffix of the window. With kv_len:
+        # queries start at 0 (right-padded prefill).
+        q_off = jnp.full((B, 1, 1), S - T) if kv_len is None else jnp.zeros((B, 1, 1), jnp.int32)
+    else:
+        q_off = jnp.broadcast_to(jnp.asarray(q_offset).reshape(-1, 1, 1), (B, 1, 1))
+    k_pos = jnp.broadcast_to(jnp.arange(S)[None, None, :], (B, T, S))
+    mask = k_pos < live
     if causal:
-        q_pos = jnp.arange(T)[:, None] + (S - T)
-        k_pos = jnp.arange(S)[None, :]
+        q_pos = jnp.arange(T)[None, :, None] + q_off
         mask = mask & (q_pos >= k_pos)
-    mask = jnp.broadcast_to(mask[None], (B, T, S))
-    if kv_len is not None:
-        mask = mask & (jnp.arange(S)[None, None, :] < kv_len[:, None, None])
     logits = jnp.where(mask[:, None, None], logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
@@ -58,12 +64,17 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
                   m_scratch, l_scratch, acc_scratch,
                   *, sm_scale: float, causal: bool, block_q: int,
-                  block_k: int, q_offset: int):
+                  block_k: int):
     """Grid: (B, Hq, num_q_blocks, num_kv_blocks); kv innermost so the f32
-    accumulator scratch persists across kv iterations of one q block."""
+    accumulator scratch persists across kv iterations of one q block.
+
+    meta_ref (scalar prefetch, SMEM): [2, B] — row 0 live kv lengths, row 1
+    the global position of q row 0 (q_offset).
+    """
+    b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     num_k = pl.num_programs(3)
@@ -74,6 +85,8 @@ def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
+    kv_len = meta_ref[0, b]
+    q_offset = meta_ref[1, b]
     q_pos = qi * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0) + q_offset
     k_pos = ki * block_k + jax.lax.broadcasted_iota(
@@ -92,7 +105,7 @@ def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale  # [block_q, block_k]
 
-        mask = k_pos < kv_len_ref[0]
+        mask = k_pos < kv_len
         if causal:
             mask = mask & (q_pos >= k_pos)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -118,8 +131,8 @@ def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0] = (acc_scratch[:] / l).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, causal, sm_scale, kv_len,
-                   block_q, block_k, q_offset):
+def _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
+                   block_q, block_k):
     B, T, Hq, D = q.shape
     _, S, Hkv, _ = k.shape
     group = Hq // Hkv
@@ -133,15 +146,21 @@ def _flash_forward(q, k, v, causal, sm_scale, kv_len,
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
+    if q_offset is None:
+        off = (jnp.full((B,), S - T, jnp.int32) if kv_len is None
+               else jnp.zeros((B,), jnp.int32))
+    else:
+        off = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32).reshape(-1), (B,))
     if kv_len is None:
         kv_len = jnp.full((B,), S, dtype=jnp.int32)
+    meta = jnp.stack([kv_len.astype(jnp.int32), off], axis=0)  # [2, B]
 
     grid = (B, Hq, T // block_q, S // block_k)
 
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, sm_scale=sm_scale, causal=causal,
-            block_q=block_q, block_k=block_k, q_offset=q_offset),
+            block_q=block_q, block_k=block_k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -170,7 +189,7 @@ def _flash_forward(q, k, v, causal, sm_scale, kv_len,
             bytes_accessed=(qt.size + kt.size + vt.size + qt.size) * qt.dtype.itemsize,
             transcendentals=B * Hq * T * S,
         ),
-    )(kv_len, qt, kt, vt)
+    )(meta, qt, kt, vt)
     return out.transpose(0, 2, 1, 3)
 
 
@@ -179,28 +198,28 @@ def _flash_forward(q, k, v, causal, sm_scale, kv_len,
 # which XLA fuses well; a dedicated Pallas backward is a later optimization).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8))
-def _flash_attention(q, k, v, causal, sm_scale, kv_len,
-                     block_q, block_k, q_offset):
-    return _flash_forward(q, k, v, causal, sm_scale, kv_len,
-                          block_q, block_k, q_offset)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7, 8))
+def _flash_attention(q, k, v, causal, sm_scale, kv_len, q_offset,
+                     block_q, block_k):
+    return _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
+                          block_q, block_k)
 
 
-def _flash_fwd(q, k, v, causal, sm_scale, kv_len, block_q, block_k, q_offset):
-    out = _flash_forward(q, k, v, causal, sm_scale, kv_len,
-                         block_q, block_k, q_offset)
-    return out, (q, k, v, kv_len)
+def _flash_fwd(q, k, v, causal, sm_scale, kv_len, q_offset, block_q, block_k):
+    out = _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
+                         block_q, block_k)
+    return out, (q, k, v, kv_len, q_offset)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, q_offset,
+def _flash_bwd(causal, sm_scale, block_q, block_k,
                residuals, g):
-    q, k, v, kv_len = residuals
+    q, k, v, kv_len, q_offset = residuals
     def ref(q, k, v):
         return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale,
-                             kv_len=kv_len)
+                             kv_len=kv_len, q_offset=q_offset)
     _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -209,12 +228,18 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = True, sm_scale: Optional[float] = None,
                     kv_len: Optional[jnp.ndarray] = None,
+                    q_offset: Optional[jnp.ndarray] = None,
                     block_q: int = 256, block_k: int = 256,
                     use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Fused attention. q [B,T,Hq,D]; k,v [B,S,Hkv,D] -> [B,T,Hq,D].
 
-    When T < S (KV-cached continuation) queries are assumed to be the LAST T
-    positions (causal offset S - T).
+    Position conventions for causal masking:
+      * kv_len is None: queries are the LAST T positions of the window
+        (suffix continuation; offset S - T).
+      * kv_len given, q_offset None: queries start at position 0
+        (right-padded prefill over a padded cache).
+      * q_offset given ([B] or scalar): explicit global position of q row 0
+        (chunked prefill continuation: pass the cache write index).
     """
     B, T, Hq, D = q.shape
     _, S, Hkv, _ = k.shape
@@ -225,6 +250,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     # Tiny/ragged shapes: XLA path.
     if not use_pallas or T % min(block_q, T) or S % min(block_k, S) or D % 128 or T < 8:
         return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale,
-                             kv_len=kv_len)
-    return _flash_attention(q, k, v, causal, sm_scale, kv_len,
-                            block_q, block_k, S - T)
+                             kv_len=kv_len, q_offset=q_offset)
+    return _flash_attention(q, k, v, causal, sm_scale, kv_len, q_offset,
+                            block_q, block_k)

@@ -70,7 +70,7 @@ def test_flash_kernel_interpret_matches_reference(causal, group):
     from jax.experimental.pallas import tpu as pltpu
 
     with pltpu.force_tpu_interpret_mode():
-        got = _flash_forward(q, k, v, causal, D ** -0.5, None, 128, 128, 0)
+        got = _flash_forward(q, k, v, causal, D ** -0.5, None, None, 128, 128)
     want = mha_reference(q, k, v, causal=causal)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
@@ -84,7 +84,7 @@ def test_flash_kernel_kv_len_masking():
     from jax.experimental.pallas import tpu as pltpu
 
     with pltpu.force_tpu_interpret_mode():
-        got = _flash_forward(q, k, v, False, D ** -0.5, kv_len, 128, 128, 0)
+        got = _flash_forward(q, k, v, False, D ** -0.5, kv_len, None, 128, 128)
     want = mha_reference(q, k, v, causal=False, kv_len=kv_len)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
