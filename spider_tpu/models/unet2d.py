@@ -1,0 +1,298 @@
+"""Conditional 2-D UNet (flax) — the denoiser of SD-1.5, SDXL and (1-channel)
+AudioLDM. Config-driven so one implementation serves all three
+(cf. the reference's vendored diffusers pipelines,
+/root/reference/spider/models/custom_sd.py, custom_ad.py,
+/root/reference/StoryDiffusion/utils/pipeline.py).
+
+NHWC layout. Self-attention blocks support an extra-KV side input
+(``story_kv``) — the mechanism behind StoryDiffusion's consistent
+self-attention (Comic_Generation.py:46-268) expressed as a functional
+argument instead of a swapped-in attention-processor class.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spider_tpu.models.schedulers import timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet2DConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    cross_attn_blocks: Tuple[bool, ...] = (True, True, True, False)
+    layers_per_block: int = 2
+    transformer_layers_per_block: Tuple[int, ...] = (1, 1, 1, 1)
+    num_attention_heads: Tuple[int, ...] = (8, 8, 8, 8)
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    addition_embed_type: Optional[str] = None           # 'text_time' for SDXL
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816   # SDXL
+    dtype: Any = jnp.float32
+
+
+def unet_sd15() -> UNet2DConfig:
+    return UNet2DConfig()
+
+
+def unet_sdxl() -> UNet2DConfig:
+    return UNet2DConfig(
+        block_out_channels=(320, 640, 1280),
+        cross_attn_blocks=(False, True, True),
+        transformer_layers_per_block=(0, 2, 10),
+        num_attention_heads=(5, 10, 20),
+        cross_attention_dim=2048,
+        addition_embed_type="text_time",
+    )
+
+
+def unet_audioldm() -> UNet2DConfig:
+    # AudioLDM-l: 8 latent channels, CLAP class-embedding conditioning is
+    # injected via the time embedding (see pipelines/ad.py).
+    return UNet2DConfig(
+        in_channels=8, out_channels=8,
+        block_out_channels=(128, 256, 384, 640),
+        cross_attn_blocks=(True, True, True, True),
+        num_attention_heads=(8, 8, 8, 8),
+        cross_attention_dim=128,
+    )
+
+
+def unet_tiny(cross_attention_dim: int = 32,
+              addition_embed_type: Optional[str] = None,
+              projection_dim: int = 40,
+              in_channels: int = 4, out_channels: int = 4) -> UNet2DConfig:
+    return UNet2DConfig(
+        in_channels=in_channels, out_channels=out_channels,
+        block_out_channels=(16, 32),
+        cross_attn_blocks=(True, True),
+        layers_per_block=1,
+        transformer_layers_per_block=(1, 1),
+        num_attention_heads=(2, 2),
+        cross_attention_dim=cross_attention_dim,
+        norm_num_groups=4,
+        addition_embed_type=addition_embed_type,
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=projection_dim,
+    )
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    groups: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+def _attention(q, k, v, heads: int):
+    """Plain softmax attention on [B, T, C] projections (XLA fuses this)."""
+    B, T, C = q.shape
+    S = k.shape[1]
+    D = C // heads
+    q = q.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) / (D ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, C)
+
+
+class CrossAttention(nn.Module):
+    heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, context=None, extra_kv=None):
+        C = x.shape[-1]
+        ctx = x if context is None else context
+        to_k = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_k")
+        to_v = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_v")
+        q = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = to_k(ctx)
+        v = to_v(ctx)
+        if extra_kv is not None:
+            # Consistent self-attention: prepend reference tokens' K/V
+            # (StoryDiffusion's SpatialAttnProcessor2_0 semantics).
+            k = jnp.concatenate([to_k(extra_kv), k], axis=1)
+            v = jnp.concatenate([to_v(extra_kv), v], axis=1)
+        out = _attention(q, k, v, self.heads)
+        return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        h = nn.Dense(C * 8, dtype=self.dtype, name="proj_in")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        return nn.Dense(C, dtype=self.dtype, name="proj_out")(a * jax.nn.gelu(b))
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, context, story_kv=None):
+        # Sow self-attention input so story pipelines can harvest reference
+        # tokens from the id (write) pass.
+        self.sow("story", "self_attn_in", x)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(self.heads, self.dtype, name="attn1")(
+            h, context=None, extra_kv=story_kv)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(self.heads, self.dtype, name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return x + FeedForward(self.dtype, name="ff")(h)
+
+
+class Transformer2D(nn.Module):
+    heads: int
+    depth: int
+    groups: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, context, story_kv=None):
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(x)
+        h = h.reshape(B, H * W, C)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.heads, self.dtype,
+                                      name=f"block_{i}")(h, context, story_kv)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        return h.reshape(B, H, W, C) + residual
+
+
+class UNet2DConditionModel(nn.Module):
+    config: UNet2DConfig
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
+                 encoder_hidden_states: jnp.ndarray,
+                 added_cond: Optional[Dict[str, jnp.ndarray]] = None,
+                 story_kv: Optional[Dict[str, jnp.ndarray]] = None):
+        """sample [B,H,W,Cin]; timesteps [B]; encoder_hidden_states [B,S,Dctx].
+
+        story_kv: optional {block_path: [B, S_extra, C]} extra self-attn KV.
+        """
+        cfg = self.config
+        tdim = cfg.block_out_channels[0] * 4
+        temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb = nn.Dense(tdim, dtype=cfg.dtype, name="time_embed_1")(temb)
+        temb = nn.Dense(tdim, dtype=cfg.dtype, name="time_embed_2")(nn.silu(temb))
+
+        if cfg.addition_embed_type == "text_time":
+            assert added_cond is not None
+            text_embeds = added_cond["text_embeds"]      # [B, 1280] pooled
+            time_ids = added_cond["time_ids"]            # [B, 6]
+            tid = timestep_embedding(time_ids.reshape(-1),
+                                     cfg.addition_time_embed_dim)
+            tid = tid.reshape(text_embeds.shape[0], -1)
+            add = jnp.concatenate([text_embeds, tid], axis=-1)
+            add = nn.Dense(tdim, dtype=cfg.dtype, name="add_embed_1")(add)
+            add = nn.Dense(tdim, dtype=cfg.dtype, name="add_embed_2")(nn.silu(add))
+            temb = temb + add
+        elif cfg.addition_embed_type == "class_embed":
+            # AudioLDM: CLAP embedding projected into the time embedding.
+            assert added_cond is not None
+            cls = added_cond["class_embeds"]
+            add = nn.Dense(tdim, dtype=cfg.dtype, name="class_embed_1")(cls)
+            add = nn.Dense(tdim, dtype=cfg.dtype, name="class_embed_2")(nn.silu(add))
+            temb = temb + add
+
+        story_kv = story_kv or {}
+
+        def skv(path):
+            return story_kv.get(path)
+
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    dtype=cfg.dtype, name="conv_in")(sample)
+        skips = [x]
+        # ---- down ------------------------------------------------------------
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(ch, cfg.norm_num_groups, cfg.dtype,
+                                  name=f"down_{i}_res_{j}")(x, temb)
+                if cfg.cross_attn_blocks[i] and cfg.transformer_layers_per_block[i] > 0:
+                    x = Transformer2D(cfg.num_attention_heads[i],
+                                      cfg.transformer_layers_per_block[i],
+                                      cfg.norm_num_groups, cfg.dtype,
+                                      name=f"down_{i}_attn_{j}")(
+                        x, encoder_hidden_states, skv(f"down_{i}_attn_{j}"))
+                skips.append(x)
+            if i < len(cfg.block_out_channels) - 1:
+                x = nn.Conv(ch, (3, 3), strides=2, padding=1,
+                            dtype=cfg.dtype, name=f"down_{i}_downsample")(x)
+                skips.append(x)
+        # ---- mid -------------------------------------------------------------
+        ch = cfg.block_out_channels[-1]
+        x = ResnetBlock2D(ch, cfg.norm_num_groups, cfg.dtype,
+                          name="mid_res_0")(x, temb)
+        if cfg.cross_attn_blocks[-1] or cfg.addition_embed_type == "text_time":
+            x = Transformer2D(cfg.num_attention_heads[-1],
+                              max(cfg.transformer_layers_per_block[-1], 1),
+                              cfg.norm_num_groups, cfg.dtype,
+                              name="mid_attn")(x, encoder_hidden_states,
+                                               skv("mid_attn"))
+        x = ResnetBlock2D(ch, cfg.norm_num_groups, cfg.dtype,
+                          name="mid_res_1")(x, temb)
+        # ---- up --------------------------------------------------------------
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_attn = list(reversed(cfg.cross_attn_blocks))
+        rev_depth = list(reversed(cfg.transformer_layers_per_block))
+        rev_heads = list(reversed(cfg.num_attention_heads))
+        for i, ch in enumerate(rev_channels):
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock2D(ch, cfg.norm_num_groups, cfg.dtype,
+                                  name=f"up_{i}_res_{j}")(x, temb)
+                if rev_attn[i] and rev_depth[i] > 0:
+                    x = Transformer2D(rev_heads[i], rev_depth[i],
+                                      cfg.norm_num_groups, cfg.dtype,
+                                      name=f"up_{i}_attn_{j}")(
+                        x, encoder_hidden_states, skv(f"up_{i}_attn_{j}"))
+            if i < len(rev_channels) - 1:
+                B, H, W, C = x.shape
+                x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+                x = nn.Conv(C, (3, 3), padding=1, dtype=cfg.dtype,
+                            name=f"up_{i}_upsample")(x)
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                         dtype=cfg.dtype, name="norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
+                       name="conv_out")(x)
