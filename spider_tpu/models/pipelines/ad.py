@@ -1,0 +1,168 @@
+"""AudioLDM text-to-audio pipeline, TPU-native.
+
+Counterpart of /root/reference/spider/models/custom_ad.py:48,421,530-544:
+CLAP text embedding (the 512-d `return_prompts_only` payload and Spider's
+AUDIO alignment target), UNet denoising of a mel-latent conditioned through
+the class-embedding path, VAE mel decode, HiFiGAN vocoding.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spider_tpu.common.registry import registry
+from spider_tpu.models.clip_text import ClapTextModel
+from spider_tpu.models.pipelines.sd import pad_ids
+from spider_tpu.models.schedulers import DDIMScheduler
+from spider_tpu.models.unet2d import UNet2DConditionModel
+from spider_tpu.models.vae import AutoencoderKL
+from spider_tpu.models.vocoder import HifiGan
+
+
+@registry.register_model("ad")
+class AudioLDMPipeline:
+    # AudioLDM operating constants (mel frames per second, bins).
+    mel_bins_per_second = 102.4  # 16kHz, hop 160 -> 100 frames/s (approx; 8 latent)
+
+    def __init__(self, tokenizer, text_encoder: ClapTextModel, text_params,
+                 unet: UNet2DConditionModel, unet_params,
+                 vae: AutoencoderKL, vae_params,
+                 vocoder: HifiGan, vocoder_params,
+                 scheduler: Optional[DDIMScheduler] = None,
+                 mel_bins: int = 64):
+        self.tokenizer = tokenizer
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self.scheduler = scheduler or DDIMScheduler()
+        self.mel_bins = mel_bins
+        self._encode_jit = jax.jit(
+            lambda p, ids, mask: self.text_encoder.apply(p, ids, mask)[1])
+        self._denoise_cache: Dict[Tuple, Callable] = {}
+
+    def tokenize(self, prompts: Sequence[str]):
+        max_len = 77
+        pad = getattr(self.tokenizer, "pad_token_id", 0)
+        ids_batch, mask_batch = [], []
+        for p in prompts:
+            ids = list(self.tokenizer(p, add_special_tokens=True).input_ids)[:max_len]
+            mask_batch.append(pad_ids([1] * len(ids), max_len, 0))
+            ids_batch.append(pad_ids(ids, max_len, pad))
+        return (jnp.asarray(ids_batch, jnp.int32),
+                jnp.asarray(mask_batch, jnp.int32))
+
+    def encode_prompt(self, prompts: Sequence[str]) -> jnp.ndarray:
+        """Pooled CLAP embedding [B, 512], L2-normalized (custom_ad.py:530-544)."""
+        ids, mask = self.tokenize(prompts)
+        emb = self._encode_jit(self.text_params, ids, mask)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def _denoise_fn(self, num_steps: int, guidance_scale: float, shape):
+        key = (num_steps, guidance_scale, shape)
+        if key not in self._denoise_cache:
+            sched = self.scheduler
+            timesteps = sched.timesteps(num_steps)
+
+            @jax.jit
+            def run(unet_params, latents, cond, uncond):
+                class_embeds = jnp.concatenate([uncond, cond], axis=0)
+                # AudioLDM passes the CLAP vector via the class-embedding path;
+                # cross-attention context is a dummy of the same vector.
+                context = class_embeds[:, None, :]
+
+                def step(latents, t):
+                    lat_in = jnp.concatenate([latents, latents], axis=0)
+                    tt = jnp.full((lat_in.shape[0],), t, jnp.int32)
+                    eps = self.unet.apply(
+                        unet_params, lat_in, tt, context,
+                        added_cond=dict(class_embeds=class_embeds))
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
+                    return sched.step(eps, t, latents, num_steps), None
+
+                latents, _ = jax.lax.scan(step, latents, timesteps)
+                return latents
+
+            self._denoise_cache[key] = run
+        return self._denoise_cache[key]
+
+    def __call__(self, prompt: Optional[Sequence[str]] = None,
+                 prompt_embeds: Optional[jnp.ndarray] = None,
+                 negative_prompt: Optional[Sequence[str]] = None,
+                 guidance_scale: float = 7.5, num_inference_steps: int = 40,
+                 audio_length_in_s: float = 5.0,
+                 return_prompts_only: bool = False,
+                 rng: Optional[jax.Array] = None):
+        if return_prompts_only:
+            assert prompt is not None
+            return self.encode_prompt(prompt)
+        if prompt_embeds is None:
+            assert prompt is not None
+            prompt_embeds = self.encode_prompt(prompt)
+        else:
+            prompt_embeds = prompt_embeds / jnp.linalg.norm(
+                prompt_embeds, axis=-1, keepdims=True)
+        B = prompt_embeds.shape[0]
+        if negative_prompt is None:
+            negative_prompt = [""] * B
+        uncond = self.encode_prompt(negative_prompt)
+
+        factor = 2 ** (len(self.vae.config.block_out_channels) - 1)
+        unet_factor = 2 ** (len(self.unet.config.block_out_channels) - 1)
+        # Latent "image": time frames x mel bins; the latent time extent must
+        # tile through both the VAE and the UNet's downsample pyramid.
+        frames = int(audio_length_in_s * self.mel_bins_per_second)
+        lat_t = max(unet_factor, frames // factor)
+        lat_t = ((lat_t + unet_factor - 1) // unet_factor) * unet_factor
+        lat_shape = (B, lat_t, self.mel_bins // factor,
+                     self.unet.config.in_channels)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        latents = jax.random.normal(rng, lat_shape, dtype=jnp.float32)
+
+        run = self._denoise_fn(num_inference_steps, guidance_scale, lat_shape)
+        latents = run(self.unet_params, latents,
+                      prompt_embeds.astype(jnp.float32),
+                      uncond.astype(jnp.float32))
+        mel = self.vae.apply(self.vae_params, latents, method=self.vae.decode)
+        # mel [B, T, bins, 1] -> waveform
+        wave = self.vocoder.apply(self.vocoder_params, mel[..., 0])
+        return np.asarray(wave)
+
+
+def build_tiny_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
+    from spider_tpu.models.clip_text import clap_tiny
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.models.unet2d import unet_tiny
+    from spider_tpu.models.vae import vae_tiny
+    from spider_tpu.models.vocoder import HifiGanConfig, hifigan_tiny
+    import dataclasses as dc
+
+    rng = rng or jax.random.PRNGKey(0)
+    tokenizer = tokenizer or TinyTokenizer()
+    tcfg = clap_tiny(vocab_size=max(len(tokenizer), 300))
+    text = ClapTextModel(tcfg)
+    tparams = text.init(rng, jnp.zeros((1, 8), jnp.int32))
+    ucfg = unet_tiny(cross_attention_dim=tcfg.projection_dim,
+                     addition_embed_type="class_embed",
+                     projection_dim=tcfg.projection_dim)
+    unet = UNet2DConditionModel(ucfg)
+    uparams = unet.init(rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 1, tcfg.projection_dim)),
+                        dict(class_embeds=jnp.zeros((1, tcfg.projection_dim))))
+    vcfg = dc.replace(vae_tiny(), in_channels=1, out_channels=1)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(rng, jnp.zeros((1, 16, 16, 1)))
+    hcfg = hifigan_tiny()
+    voc = HifiGan(hcfg)
+    hparams = voc.init(rng, jnp.zeros((1, 16, hcfg.model_in_dim)))
+    return AudioLDMPipeline(tokenizer, text, tparams, unet, uparams, vae,
+                            vparams, voc, hparams, mel_bins=8)

@@ -1,0 +1,137 @@
+"""Text-to-video pipeline (ZeroScope class), TPU-native.
+
+Counterpart of /root/reference/spider/models/custom_vd.py:93,525,620-638 —
+same `return_prompts_only` hook and `prompt_embeds` drive; the CFG denoise
+loop is a jitted scan over a [B,F,h,w,4] latent volume and frames are decoded
+through the 2-D VAE with frames folded into the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spider_tpu.common.registry import registry
+from spider_tpu.models.clip_text import CLIPTextModel
+from spider_tpu.models.pipelines.sd import pad_ids
+from spider_tpu.models.schedulers import DDIMScheduler
+from spider_tpu.models.unet3d import UNet3DConditionModel
+from spider_tpu.models.vae import AutoencoderKL
+
+
+@registry.register_model("vd")
+class TextToVideoSDPipeline:
+    def __init__(self, tokenizer, text_encoder: CLIPTextModel, text_params,
+                 unet: UNet3DConditionModel, unet_params,
+                 vae: AutoencoderKL, vae_params,
+                 scheduler: Optional[DDIMScheduler] = None):
+        self.tokenizer = tokenizer
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.scheduler = scheduler or DDIMScheduler()
+        self._encode_jit = jax.jit(
+            lambda p, ids: self.text_encoder.apply(p, ids)[0])
+        self._denoise_cache: Dict[Tuple, Callable] = {}
+
+    def tokenize(self, prompts: Sequence[str]) -> jnp.ndarray:
+        max_len = self.text_encoder.config.max_position_embeddings
+        eos = getattr(self.tokenizer, "eos_token_id", 0)
+        batch = []
+        for p in prompts:
+            ids = self.tokenizer(p, add_special_tokens=True).input_ids
+            ids = list(ids)[: max_len - 1] + [eos]
+            batch.append(pad_ids(ids, max_len, eos))
+        return jnp.asarray(batch, dtype=jnp.int32)
+
+    def encode_prompt(self, prompts: Sequence[str]) -> jnp.ndarray:
+        return self._encode_jit(self.text_params, self.tokenize(prompts))
+
+    def _denoise_fn(self, num_steps: int, guidance_scale: float, shape):
+        key = (num_steps, guidance_scale, shape)
+        if key not in self._denoise_cache:
+            sched = self.scheduler
+            timesteps = sched.timesteps(num_steps)
+
+            @jax.jit
+            def run(unet_params, latents, cond, uncond):
+                context = jnp.concatenate([uncond, cond], axis=0)
+
+                def step(latents, t):
+                    lat_in = jnp.concatenate([latents, latents], axis=0)
+                    tt = jnp.full((lat_in.shape[0],), t, jnp.int32)
+                    eps = self.unet.apply(unet_params, lat_in, tt, context)
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
+                    return sched.step(eps, t, latents, num_steps), None
+
+                latents, _ = jax.lax.scan(step, latents, timesteps)
+                return latents
+
+            self._denoise_cache[key] = run
+        return self._denoise_cache[key]
+
+    def __call__(self, prompt: Optional[Sequence[str]] = None,
+                 prompt_embeds: Optional[jnp.ndarray] = None,
+                 negative_prompt: Optional[Sequence[str]] = None,
+                 guidance_scale: float = 7.5, num_inference_steps: int = 40,
+                 height: int = 320, width: int = 576, num_frames: int = 16,
+                 return_prompts_only: bool = False,
+                 rng: Optional[jax.Array] = None):
+        if return_prompts_only:
+            assert prompt is not None
+            return self.encode_prompt(prompt)
+        if prompt_embeds is None:
+            assert prompt is not None
+            prompt_embeds = self.encode_prompt(prompt)
+        B = prompt_embeds.shape[0]
+        if negative_prompt is None:
+            negative_prompt = [""] * B
+        uncond = self.encode_prompt(negative_prompt)
+
+        factor = 2 ** (len(self.vae.config.block_out_channels) - 1)
+        lat_shape = (B, num_frames, height // factor, width // factor,
+                     self.unet.config.in_channels)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        latents = jax.random.normal(rng, lat_shape, dtype=jnp.float32)
+
+        run = self._denoise_fn(num_inference_steps, guidance_scale, lat_shape)
+        latents = run(self.unet_params, latents,
+                      prompt_embeds.astype(jnp.float32),
+                      uncond.astype(jnp.float32))
+        # Decode frames through the 2-D VAE.
+        B_, F, h, w, c = latents.shape
+        frames = self.vae.apply(self.vae_params, latents.reshape(B_ * F, h, w, c),
+                                method=self.vae.decode)
+        frames = (frames / 2 + 0.5).clip(0.0, 1.0)
+        H, W = frames.shape[1:3]
+        return np.asarray(frames.reshape(B_, F, H, W, 3))
+
+
+def build_tiny_vd(tokenizer=None, rng=None) -> TextToVideoSDPipeline:
+    from spider_tpu.models.clip_text import CLIPTextModel, clip_tiny
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.models.unet3d import unet3d_tiny
+    from spider_tpu.models.vae import vae_tiny
+
+    rng = rng or jax.random.PRNGKey(0)
+    tokenizer = tokenizer or TinyTokenizer()
+    tcfg = clip_tiny(vocab_size=max(len(tokenizer), 300))
+    text = CLIPTextModel(tcfg)
+    tparams = text.init(rng, jnp.zeros((1, 77), jnp.int32))
+    ucfg = unet3d_tiny(cross_attention_dim=tcfg.hidden_size)
+    unet = UNet3DConditionModel(ucfg)
+    uparams = unet.init(rng, jnp.zeros((1, 2, 8, 8, 4)),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 77, tcfg.hidden_size)))
+    vcfg = vae_tiny()
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(rng, jnp.zeros((1, 16, 16, 3)))
+    return TextToVideoSDPipeline(tokenizer, text, tparams, unet, uparams,
+                                 vae, vparams)
