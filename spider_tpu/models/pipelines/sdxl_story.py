@@ -1,0 +1,284 @@
+"""SDXL pipeline + StoryDiffusion consistent multi-image story generation,
+TPU-native.
+
+Counterpart of /root/reference/StoryDiffusion/Comic_Generation.py:297-467: a
+two-text-encoder SDXL denoiser where the up-block self-attentions are
+batch-coupled ("consistent self-attention"): every image's self-attn K/V is
+augmented with tokens randomly sampled from the first ``id_length`` images of
+the batch at the same denoise step. The reference implements this with a
+swapped-in attention processor and a two-phase (write id images, then read)
+loop; here the id and story images denoise JOINTLY in a single jitted
+``lax.scan`` — id rows see only id tokens, story rows see id tokens + their
+own, which reproduces the write/read semantics without a mutable id bank.
+
+Random sampling masks (cal_attn_mask_xl analogue) become per-block fixed-size
+index arrays drawn once per request on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spider_tpu.common.registry import registry
+from spider_tpu.models.clip_text import CLIPTextModel
+from spider_tpu.models.pipelines.sd import pad_ids
+from spider_tpu.models.schedulers import EulerDiscreteScheduler
+from spider_tpu.models.unet2d import UNet2DConditionModel
+from spider_tpu.models.vae import AutoencoderKL
+
+# Style templates (same style names as the reference's
+# StoryDiffusion/utils/style_template.py — part of the system-prompt contract;
+# template wording is our own).
+STYLE_TEMPLATES: Dict[str, Tuple[str, str]] = {
+    "(No style)": ("{prompt}", ""),
+    "Japanese Anime": (
+        "anime artwork of {prompt}, anime style, vibrant colors, clean line art,"
+        " studio anime, key visual, highly detailed",
+        "photo, realistic, black and white, low quality, deformed",
+    ),
+    "Digital/Oil Painting": (
+        "an oil painting of {prompt}, rich brush strokes, digital painting,"
+        " dramatic lighting, highly detailed, artstation quality",
+        "photo, photorealistic, low quality, blurry, text, watermark",
+    ),
+    "Photographic": (
+        "cinematic photo of {prompt}, 35mm photograph, film grain, bokeh,"
+        " professional, 4k, highly detailed",
+        "drawing, painting, cartoon, anime, sketch, low quality, deformed",
+    ),
+    "Comic book": (
+        "comic book panel of {prompt}, bold outlines, halftone shading,"
+        " graphic novel illustration, vivid colors",
+        "photograph, realistic, 3d render, low quality, blurry",
+    ),
+}
+DEFAULT_STYLE = "Japanese Anime"
+
+
+def apply_style(style_name: str, prompts: Sequence[str],
+                negative: str = "") -> Tuple[List[str], str]:
+    pos, neg = STYLE_TEMPLATES.get(style_name, STYLE_TEMPLATES[DEFAULT_STYLE])
+    return [pos.format(prompt=p) for p in prompts], (neg + " " + negative).strip()
+
+
+@registry.register_model("sdxl_story")
+class StoryXLPipeline:
+    """SDXL with optional consistent self-attention over the batch."""
+
+    def __init__(self, tokenizer, tokenizer_2,
+                 text_encoder: CLIPTextModel, text_params,
+                 text_encoder_2: CLIPTextModel, text_params_2,
+                 unet: UNet2DConditionModel, unet_params,
+                 vae: AutoencoderKL, vae_params,
+                 scheduler: Optional[EulerDiscreteScheduler] = None,
+                 height: int = 768, width: int = 768):
+        self.tokenizer = tokenizer
+        self.tokenizer_2 = tokenizer_2
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.text_encoder_2 = text_encoder_2
+        self.text_params_2 = text_params_2
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.scheduler = scheduler or EulerDiscreteScheduler()
+        self.height = height
+        self.width = width
+        self._denoise_cache: Dict[Tuple, Callable] = {}
+
+    # ------------------------------------------------------------------ text
+    def _tokenize(self, tokenizer, prompts, max_len, eos):
+        batch = []
+        for p in prompts:
+            ids = list(tokenizer(p, add_special_tokens=True).input_ids)
+            ids = ids[: max_len - 1] + [eos]
+            batch.append(pad_ids(ids, max_len, eos))
+        return jnp.asarray(batch, jnp.int32)
+
+    def encode_prompt(self, prompts: Sequence[str]):
+        """SDXL conditioning: concat penultimate hidden states of both
+        encoders [B,77,768+1280] + pooled projection of encoder 2 [B,1280]."""
+        c1 = self.text_encoder.config
+        ids1 = self._tokenize(self.tokenizer, prompts,
+                              c1.max_position_embeddings, c1.eos_token_id)
+        _, h1, _ = self.text_encoder.apply(self.text_params, ids1)
+        c2 = self.text_encoder_2.config
+        ids2 = self._tokenize(self.tokenizer_2, prompts,
+                              c2.max_position_embeddings, c2.eos_token_id)
+        _, h2, pooled = self.text_encoder_2.apply(self.text_params_2, ids2)
+        ctx = jnp.concatenate([h1[-2], h2[-2]], axis=-1)
+        return ctx, pooled
+
+    # --------------------------------------------------------------- denoise
+    def _denoise_fn(self, num_steps, guidance_scale, shape, id_length,
+                    story_shapes):
+        key = (num_steps, guidance_scale, shape, id_length, story_shapes)
+        if key not in self._denoise_cache:
+            sched = self.scheduler
+            sigmas, timesteps = sched.sigmas_and_timesteps(num_steps)
+
+            @jax.jit
+            def run(unet_params, latents, ctx, pooled, uncond_ctx,
+                    uncond_pooled, time_ids, story_indices):
+                B = latents.shape[0]
+                context = jnp.concatenate([uncond_ctx, ctx], axis=0)
+                text_embeds = jnp.concatenate([uncond_pooled, pooled], axis=0)
+                tids = jnp.concatenate([time_ids, time_ids], axis=0)
+                # id_length is static (cache key); indices are traced arrays.
+                # num_groups=2: the CFG concat batch is [uncond rows; cond
+                # rows] and each half keeps its own id bank.
+                story = {
+                    path: dict(id_length=id_length, indices=idx, num_groups=2)
+                    for path, idx in story_indices.items()
+                } if story_indices else None
+
+                def step(latents, inp):
+                    sigma, sigma_next, t = inp
+                    lat_in = jnp.concatenate([latents, latents], axis=0)
+                    lat_in = sched.scale_model_input(lat_in, sigma)
+                    tt = jnp.full((2 * B,), t, jnp.int32)
+                    eps = self.unet.apply(
+                        unet_params, lat_in, tt, context,
+                        added_cond=dict(text_embeds=text_embeds, time_ids=tids),
+                        story=story)
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
+                    return sched.step(eps, sigma, sigma_next, latents), None
+
+                xs = (sigmas[:-1], sigmas[1:], timesteps)
+                latents, _ = jax.lax.scan(step, latents, xs)
+                return latents
+
+            self._denoise_cache[key] = run
+        return self._denoise_cache[key]
+
+    def _story_indices(self, id_length: int, lat_hw: Tuple[int, int],
+                       sa_ratio: float, rng: np.random.Generator):
+        """Per-up-block fixed-count sampled token indices into the flattened
+        id-token bank (cal_attn_mask_xl analogue with static shapes)."""
+        cfg = self.unet.config
+        out = {}
+        h, w = lat_hw
+        rev = list(reversed(cfg.block_out_channels))
+        rev_attn = list(reversed(cfg.cross_attn_blocks))
+        rev_depth = list(reversed(cfg.transformer_layers_per_block))
+        # spatial extent at each up level: mid resolution * 2^i
+        for i, _ in enumerate(rev):
+            scale = 2 ** (len(rev) - 1 - i)
+            hw = (h // scale) * (w // scale)
+            total = id_length * hw
+            count = max(1, int(total * sa_ratio))
+            for j in range(cfg.layers_per_block + 1):
+                if rev_attn[i] and rev_depth[i] > 0:
+                    idx = rng.choice(total, size=count, replace=False)
+                    out[f"up_{i}_attn_{j}"] = jnp.asarray(np.sort(idx), jnp.int32)
+        return out
+
+    # ------------------------------------------------------------------ call
+    def __call__(self, prompt: Sequence[str],
+                 negative_prompt: str = "",
+                 guidance_scale: float = 5.0, num_inference_steps: int = 50,
+                 id_length: int = 0, sa_ratio: float = 0.5,
+                 height: Optional[int] = None, width: Optional[int] = None,
+                 rng: Optional[jax.Array] = None, seed: int = 0):
+        """Generate len(prompt) images; if id_length > 0, the first id_length
+        rows are identity images and ALL rows share consistent self-attn."""
+        height = height or self.height
+        width = width or self.width
+        B = len(prompt)
+        ctx, pooled = self.encode_prompt(prompt)
+        un_ctx, un_pooled = self.encode_prompt([negative_prompt] * B)
+
+        factor = 2 ** (len(self.vae.config.block_out_channels) - 1)
+        lat_shape = (B, height // factor, width // factor,
+                     self.unet.config.in_channels)
+        rng = rng if rng is not None else jax.random.PRNGKey(seed)
+        sigmas, _ = self.scheduler.sigmas_and_timesteps(num_inference_steps)
+        latents = jax.random.normal(rng, lat_shape, jnp.float32)
+        latents = latents * self.scheduler.init_noise_sigma(sigmas)
+
+        time_ids = jnp.tile(
+            jnp.asarray([[height, width, 0, 0, height, width]], jnp.float32),
+            (B, 1))
+
+        story_indices = {}
+        if id_length > 0:
+            np_rng = np.random.default_rng(seed)
+            story_indices = self._story_indices(
+                id_length, lat_shape[1:3], sa_ratio, np_rng)
+
+        story_key = tuple(sorted(
+            (p, int(v.shape[0])) for p, v in story_indices.items()))
+        run = self._denoise_fn(num_inference_steps, guidance_scale,
+                               lat_shape, id_length, story_key)
+        latents = run(self.unet_params, latents, ctx, pooled, un_ctx,
+                      un_pooled, time_ids, story_indices)
+        images = self.vae.apply(self.vae_params, latents, method=self.vae.decode)
+        images = (images / 2 + 0.5).clip(0.0, 1.0)
+        return np.asarray(images)
+
+
+def init_story_generation(pipe: StoryXLPipeline, **_unused) -> StoryXLPipeline:
+    """Signature mirror of Comic_Generation.py:297 — decoders are resident."""
+    return pipe
+
+
+def story_generation(pipe: StoryXLPipeline, general_prompt: str,
+                     prompt_array: Sequence[str], style_name: str,
+                     id_length: int = 4, sa_ratio: float = 0.5,
+                     num_inference_steps: int = 50, seed: int = 0,
+                     height: Optional[int] = None, width: Optional[int] = None
+                     ) -> List[np.ndarray]:
+    """The reference's two-phase story generation (Comic_Generation.py:320-467)
+    as one consistent joint batch: id images seed identity, then every story
+    frame is rendered with consistent self-attention against them."""
+    prompts = [f"{general_prompt}, {p}" for p in prompt_array]
+    id_prompts = prompts[:id_length]
+    if len(id_prompts) < id_length:
+        id_prompts = id_prompts + [general_prompt] * (id_length - len(id_prompts))
+    all_prompts = id_prompts + prompts[id_length:]
+    styled, negative = apply_style(style_name, all_prompts)
+    images = pipe(styled, negative_prompt=negative,
+                  num_inference_steps=num_inference_steps,
+                  id_length=id_length, sa_ratio=sa_ratio, seed=seed,
+                  height=height, width=width)
+    # One image per story prompt; id images ARE the first frames (the
+    # reference's write-phase outputs are returned as story frames too).
+    return [images[i] for i in range(len(prompts))]
+
+
+def build_tiny_sdxl(tokenizer=None, rng=None) -> StoryXLPipeline:
+    from spider_tpu.models.clip_text import CLIPTextModel, clip_tiny
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.models.unet2d import unet_tiny
+    from spider_tpu.models.vae import vae_tiny
+    import dataclasses as dc
+
+    rng = rng or jax.random.PRNGKey(0)
+    tokenizer = tokenizer or TinyTokenizer()
+    t1 = clip_tiny(vocab_size=max(len(tokenizer), 300))
+    t2 = dc.replace(clip_tiny(vocab_size=max(len(tokenizer), 300)),
+                    hidden_size=48, intermediate_size=96, projection_dim=48)
+    enc1 = CLIPTextModel(t1)
+    p1 = enc1.init(rng, jnp.zeros((1, 77), jnp.int32))
+    enc2 = CLIPTextModel(t2)
+    p2 = enc2.init(rng, jnp.zeros((1, 77), jnp.int32))
+    ucfg = unet_tiny(cross_attention_dim=t1.hidden_size + t2.hidden_size,
+                     addition_embed_type="text_time",
+                     projection_dim=48 + 8 * 6)
+    unet = UNet2DConditionModel(ucfg)
+    up = unet.init(rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+                   jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+                   dict(text_embeds=jnp.zeros((1, 48)),
+                        time_ids=jnp.zeros((1, 6), jnp.float32)))
+    vcfg = vae_tiny()
+    vae = AutoencoderKL(vcfg)
+    vp = vae.init(rng, jnp.zeros((1, 16, 16, 3)))
+    return StoryXLPipeline(tokenizer, tokenizer, enc1, p1, enc2, p2,
+                           unet, up, vae, vp, height=16, width=16)

@@ -163,13 +163,30 @@ class BasicTransformerBlock(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, context, story_kv=None):
+    def __call__(self, x, context, story_kv=None, story=None):
+        """story: optional dict(id_length=int, indices=[K] int32) activating
+        consistent self-attention — every batch row's self-attn K/V is
+        augmented with K sampled tokens drawn from the first `id_length`
+        batch rows (StoryDiffusion, Comic_Generation.py:46-268, expressed as
+        a batch-coupled functional attention instead of a processor swap)."""
         # Sow self-attention input so story pipelines can harvest reference
-        # tokens from the id (write) pass.
+        # tokens from the id (write) pass if they run phases separately.
         self.sow("story", "self_attn_in", x)
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        extra = story_kv
+        if story is not None:
+            idl = story["id_length"]
+            idx = story["indices"]
+            groups = story.get("num_groups", 1)  # 2 under CFG concat batching
+            BT, T, C = h.shape
+            B = BT // groups
+            hg = h.reshape(groups, B, T, C)
+            bank = hg[:, :idl].reshape(groups, 1, idl * T, C)
+            bank = jnp.take(bank, idx, axis=2)
+            extra = jnp.broadcast_to(
+                bank, (groups, B, idx.shape[0], C)).reshape(BT, idx.shape[0], C)
         x = x + CrossAttention(self.heads, self.dtype, name="attn1")(
-            h, context=None, extra_kv=story_kv)
+            h, context=None, extra_kv=extra)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.heads, self.dtype, name="attn2")(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
@@ -183,7 +200,7 @@ class Transformer2D(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, context, story_kv=None):
+    def __call__(self, x, context, story_kv=None, story=None):
         B, H, W, C = x.shape
         residual = x
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
@@ -192,7 +209,8 @@ class Transformer2D(nn.Module):
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):
             h = BasicTransformerBlock(self.heads, self.dtype,
-                                      name=f"block_{i}")(h, context, story_kv)
+                                      name=f"block_{i}")(h, context, story_kv,
+                                                         story)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(B, H, W, C) + residual
 
@@ -204,10 +222,14 @@ class UNet2DConditionModel(nn.Module):
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
                  encoder_hidden_states: jnp.ndarray,
                  added_cond: Optional[Dict[str, jnp.ndarray]] = None,
-                 story_kv: Optional[Dict[str, jnp.ndarray]] = None):
+                 story_kv: Optional[Dict[str, jnp.ndarray]] = None,
+                 story: Optional[Dict[str, Dict]] = None):
         """sample [B,H,W,Cin]; timesteps [B]; encoder_hidden_states [B,S,Dctx].
 
         story_kv: optional {block_path: [B, S_extra, C]} extra self-attn KV.
+        story: optional {block_path: dict(id_length, indices)} activating
+          batch-coupled consistent self-attention in the named blocks
+          (StoryDiffusion; applied to up-blocks in practice).
         """
         cfg = self.config
         tdim = cfg.block_out_channels[0] * 4
@@ -235,6 +257,7 @@ class UNet2DConditionModel(nn.Module):
             temb = temb + add
 
         story_kv = story_kv or {}
+        story = story or {}
 
         def skv(path):
             return story_kv.get(path)
@@ -285,7 +308,8 @@ class UNet2DConditionModel(nn.Module):
                     x = Transformer2D(rev_heads[i], rev_depth[i],
                                       cfg.norm_num_groups, cfg.dtype,
                                       name=f"up_{i}_attn_{j}")(
-                        x, encoder_hidden_states, skv(f"up_{i}_attn_{j}"))
+                        x, encoder_hidden_states, skv(f"up_{i}_attn_{j}"),
+                        story.get(f"up_{i}_attn_{j}"))
             if i < len(rev_channels) - 1:
                 B, H, W, C = x.shape
                 x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")

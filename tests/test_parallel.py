@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from spider_tpu.common import dist
+from spider_tpu.models import llama as L
+from spider_tpu.parallel import partition
+from spider_tpu.runners import train_step as TS
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return dist.make_mesh(data=2, fsdp=2, model=2)
+
+
+def test_partition_specs_match_rules():
+    cfg = L.llama_tiny()
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    specs = partition.tree_partition_specs(params)
+    flat = {partition.path_str(p): s
+            for p, s in jax.tree_util.tree_leaves_with_path(specs)}
+    qspec = [v for k, v in flat.items() if "q_proj/kernel" in k]
+    assert qspec and qspec[0] == P(None, "fsdp", "model")
+    ospec = [v for k, v in flat.items() if "o_proj/kernel" in k]
+    assert ospec[0] == P(None, "model", "fsdp")
+    embspec = [v for k, v in flat.items() if "embedding" in k]
+    assert embspec[0] == P("model", "fsdp")
+    norm = [v for k, v in flat.items() if k.endswith("input_layernorm")]
+    assert all(e is None for e in tuple(norm[0]))
+
+
+def test_shard_params_places_on_mesh(mesh):
+    cfg = L.llama_tiny()
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    sharded = partition.shard_params(params, mesh)
+    leaves = jax.tree_util.tree_leaves(sharded)
+    assert all(hasattr(l, "sharding") for l in leaves)
+    # Values unchanged.
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(params)[0]),
+        np.asarray(leaves[0]), rtol=1e-6)
+
+
+def test_freeze_embedding_rows():
+    tx = partition.freeze_embedding_rows(3)
+    updates = {"embed_tokens": {"embedding": jnp.ones((5, 4))},
+               "lm_head": {"kernel": jnp.ones((4, 5))},
+               "other": jnp.ones((5, 4))}
+    state = tx.init(updates)
+    out, _ = tx.update(updates, state)
+    np.testing.assert_array_equal(np.asarray(out["embed_tokens"]["embedding"][:3]), 0)
+    np.testing.assert_array_equal(np.asarray(out["embed_tokens"]["embedding"][3:]), 1)
+    np.testing.assert_array_equal(np.asarray(out["lm_head"]["kernel"][:, :3]), 0)
+    np.testing.assert_array_equal(np.asarray(out["other"]), 1)
+
+
+def test_trainable_mask_lora_only():
+    cfg = L.llama_tiny(lora_r=2)
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    mask = partition.trainable_mask(params, (r"lora_",))
+    flat = {partition.path_str(p): m
+            for p, m in jax.tree_util.tree_leaves_with_path(mask)}
+    assert any(v for k, v in flat.items() if "lora_a" in k)
+    assert not any(v for k, v in flat.items() if "q_proj/kernel" in k)
+
+
+def test_sharded_train_step_runs_and_reduces_loss(mesh):
+    cfg = L.llama_tiny(vocab_size=64)
+    model = L.LlamaForCausalLM(cfg)
+    tx = TS.build_optimizer(1e-2)
+    ids = jnp.ones((4, 8), jnp.int32)
+    state = TS.init_sharded_state(model, tx, mesh, ids)
+    step = TS.make_jitted_train_step(model, tx, mesh, state)
+    batch = dict(
+        input_ids=jax.random.randint(jax.random.PRNGKey(0), (4, 8), 0, 64),
+        labels=jax.random.randint(jax.random.PRNGKey(0), (4, 8), 0, 64),
+    )
+    with mesh:
+        state, m0 = step(state, batch)
+        loss0 = float(m0["loss"])
+        for _ in range(10):
+            state, m = step(state, batch)
+    assert float(m["loss"]) < loss0
+    assert int(state.step) == 11
+
+
+def test_grad_accum_and_frozen_rows_in_train_step(mesh):
+    cfg = L.llama_tiny(vocab_size=64)
+    model = L.LlamaForCausalLM(cfg)
+    tx = TS.build_optimizer(1e-2, grad_accum_steps=2, num_frozen_embed_rows=10)
+    ids = jnp.ones((4, 8), jnp.int32)
+    state = TS.init_sharded_state(model, tx, mesh, ids)
+    step = TS.make_jitted_train_step(model, tx, mesh, state)
+    batch = dict(
+        input_ids=jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 64),
+        labels=jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 64),
+    )
+    emb0 = np.asarray(state.params["params"]["embed_tokens"]["embedding"])
+    with mesh:
+        for _ in range(4):
+            state, _ = step(state, batch)
+    emb1 = np.asarray(state.params["params"]["embed_tokens"]["embedding"])
+    np.testing.assert_array_equal(emb0[:10], emb1[:10])      # frozen rows
+    assert not np.allclose(emb0[10:], emb1[10:])             # live rows moved
