@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spider_tpu.models.factory import build_tiny_spider
+from spider_tpu.models.spider import IGNORE, get_llm_text_res_train, split_placeholder
+
+
+@pytest.fixture(scope="module")
+def spider():
+    return build_tiny_spider()
+
+
+def _image_samples(spider, ib_size=28):
+    return {
+        "Question": ["look at <IMAGE><IMAGE-Placeholder></IMAGE> please"],
+        "TaskPrompt": ["[IMAGE]"],
+        "Answer": ["<IMAGE>a dog<IMAGE-Placeholder></IMAGE>"],
+        "Caption": ["a dog"],
+        "IMAGE": [np.zeros((3, 2, ib_size, ib_size), np.float32)],
+    }
+
+
+def test_split_placeholder():
+    out = split_placeholder("<IMAGE><IMAGE-Placeholder></IMAGE> a dog")
+    assert out == ["<IMAGE>", "<IMAGE-Placeholder>", "</IMAGE> a dog"]
+
+
+def test_get_llm_text_res_train():
+    s = "[OUTPUT]<MASK>apple[MASK0]</MASK>[END]"
+    assert get_llm_text_res_train(s, "MASK") == ["apple"]
+
+
+def test_prepare_batch_structure(spider):
+    samples = _image_samples(spider)
+    batch = spider.prepare_batch(samples)
+    tok = spider.tokenizer
+    B, L = batch.input_ids.shape
+    assert B == 1
+    # exactly one IMAGE slot in the question
+    assert batch.slot_mask["IMAGE"].sum() == 1
+    # answer targets: IGNORE outside, real ids inside; [END] last non-ignore
+    tgt = batch.targets[0]
+    valid = tgt[tgt != IGNORE]
+    assert len(valid) > 0
+    end_id = spider._one_id("[END]")
+    assert valid[-1] == end_id
+    # signal positions point at [IMAGE0..3] in the targets
+    sig = batch.signal_pos[0]
+    sig_ids = [spider._one_id(f"[IMAGE{i}]") for i in range(4)]
+    np.testing.assert_array_equal(tgt[sig], sig_ids)
+    # caption span covers 'a dog' tokens between <IMAGE> and [IMAGE0]
+    s, e = batch.text_span[0]
+    assert e > s
+    # inputs equal targets on the answer span (teacher forcing)
+    np.testing.assert_array_equal(batch.input_ids[0][sig], sig_ids)
+
+
+def test_forward_image_task_losses(spider):
+    out = spider.forward(_image_samples(spider))
+    assert set(out) >= {"loss", "gen_loss", "gen_acc",
+                        "IMAGE_semantic_align_mse_loss"}
+    for k, v in out.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
+def test_forward_text_task(spider):
+    samples = {
+        "Question": ["hello"],
+        "TaskPrompt": ["[TEXT]"],
+        "Answer": ["hi there"],
+    }
+    out = spider.forward(samples)
+    assert set(out) == {"loss", "gen_loss", "gen_acc"}
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_forward_audio_task(spider):
+    samples = {
+        "Question": ["make a sound like <AUDIO><AUDIO-Placeholder></AUDIO>"],
+        "TaskPrompt": ["[AUDIO]"],
+        "Answer": ["<AUDIO>meow<AUDIO-Placeholder></AUDIO>"],
+        "Caption": ["meow"],
+        "AUDIO": [np.zeros((1, 16, 20), np.float32)],
+    }
+    out = spider.forward(samples)
+    assert "AUDIO_semantic_align_mse_loss" in out
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_forward_gradients_flow(spider):
+    samples = _image_samples(spider)
+    batch = spider.prepare_batch(samples)
+    modality_embeds = spider.encode_modalities(batch)
+    cond = spider.diffusion_pipes["IMAGE"](prompt=samples["Caption"],
+                                           return_prompts_only=True)
+
+    def loss_fn(params):
+        return spider.compute_loss(params, batch, modality_embeds, cond,
+                                   "IMAGE")["loss"]
+
+    grads = jax.grad(loss_fn)(spider.trainable_params())
+    lora_grads = [g for p, g in jax.tree_util.tree_leaves_with_path(grads["llm"])
+                  if "lora" in str(p)]
+    assert lora_grads and any(float(jnp.abs(g).max()) > 0 for g in lora_grads)
+    align_leaves = jax.tree_util.tree_leaves(grads["aligners"]["IMAGE"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in align_leaves)
+
+
+def test_generate_returns_answer(spider):
+    samples = {
+        "Question": ["draw a cat"],
+        "TaskPrompt": ["[IMAGE]"],
+    }
+    from spider_tpu.models.spider_decoder import (empty_predictions,
+                                                  empty_predictions_text)
+    answers, predictions, predictions_text = spider.generate(
+        samples, [], empty_predictions(), empty_predictions_text(),
+        max_new_tokens=8, num_inference_steps=2)
+    assert len(answers) == 1
+    assert isinstance(answers[0], str)
+
+
+def test_moe_aligner_variant():
+    spider = build_tiny_spider(use_moe_aligner=True, with_pipes=True)
+    out = spider.forward(_image_samples(spider))
+    assert np.isfinite(float(out["loss"]))
