@@ -1,0 +1,226 @@
+"""Data sources. The reference reads webdataset tar shards, COCO/REFER
+annotations, HDF5 story files and JSON guides; every source here also has a
+synthetic twin so the full pipeline runs hermetically (the fake/tiny-weight
+strategy of SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import random
+import tarfile
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def _decode_member(name: str, data: bytes):
+    ext = name.rsplit(".", 1)[-1].lower()
+    if ext in ("jpg", "jpeg", "png", "webp"):
+        try:
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        except Exception:
+            return None
+    if ext in ("txt", "text", "caption"):
+        return data.decode("utf-8", errors="replace").strip()
+    if ext == "json":
+        return json.loads(data)
+    if ext in ("npy",):
+        return np.load(io.BytesIO(data))
+    return data  # raw bytes (mp4/flac/... decoded downstream)
+
+
+class TarShardSource:
+    """webdataset-style reader: tar shards of `key.ext` members grouped by
+    key. Resampled (infinite) iteration with a shuffle buffer — the
+    ResampledShards -> tarfile_to_samples -> shuffle(1000) pipeline
+    (cf. t2i_ts_cc_sbu.py:13-21) without the webdataset dependency."""
+
+    def __init__(self, pattern: str, shuffle_buffer: int = 1000,
+                 seed: int = 0, resample: bool = True):
+        self.shards = sorted(glob.glob(pattern)) if isinstance(pattern, str) \
+            else list(pattern)
+        if not self.shards:
+            raise FileNotFoundError(f"no shards match {pattern}")
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.resample = resample
+
+    def _iter_shard(self, path: str) -> Iterator[Dict[str, Any]]:
+        with tarfile.open(path) as tf:
+            current_key = None
+            sample: Dict[str, Any] = {}
+            for member in tf:
+                if not member.isfile():
+                    continue
+                base = os.path.basename(member.name)
+                key, _, ext = base.partition(".")
+                if current_key is not None and key != current_key and sample:
+                    yield sample
+                    sample = {}
+                current_key = key
+                data = tf.extractfile(member).read()
+                decoded = _decode_member(base, data)
+                if decoded is not None:
+                    sample[ext.lower()] = decoded
+                    sample["__key__"] = key
+            if sample:
+                yield sample
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        rng = random.Random(self.seed)
+        buffer: List[Dict[str, Any]] = []
+        epoch = 0
+        while True:
+            shards = list(self.shards)
+            rng.shuffle(shards)
+            for shard in shards:
+                try:
+                    for sample in self._iter_shard(shard):
+                        buffer.append(sample)
+                        if len(buffer) >= self.shuffle_buffer:
+                            idx = rng.randrange(len(buffer))
+                            buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+                            yield buffer.pop()
+                except (tarfile.TarError, OSError):
+                    continue  # warn_and_continue semantics
+            epoch += 1
+            if not self.resample:
+                break
+        rng.shuffle(buffer)
+        yield from buffer
+
+
+class SyntheticImageText:
+    """Infinite (image uint8 HWC, caption) pairs for hermetic pipelines."""
+
+    CAPTIONS = [
+        "a dog running on grass", "a red apple on a table",
+        "a city skyline at night", "two cats sleeping", "a mountain lake",
+        "an airplane in a blue sky", "a bowl of noodles", "a child drawing",
+    ]
+
+    def __init__(self, size: int = 64, seed: int = 0, length: int = 1 << 30):
+        self.size = size
+        self.seed = seed
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        while True:
+            img = rng.integers(0, 256, (self.size, self.size, 3), np.uint8)
+            yield {"jpg": img,
+                   "txt": self.CAPTIONS[int(rng.integers(len(self.CAPTIONS)))]}
+
+
+class SyntheticVideoText(SyntheticImageText):
+    def __init__(self, size: int = 64, frames: int = 8, **kw):
+        super().__init__(size=size, **kw)
+        self.frames = frames
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        while True:
+            vid = rng.integers(0, 256,
+                               (self.frames, self.size, self.size, 3), np.uint8)
+            yield {"mp4": vid,
+                   "txt": self.CAPTIONS[int(rng.integers(len(self.CAPTIONS)))]}
+
+
+class SyntheticAudioText(SyntheticImageText):
+    def __init__(self, seconds: float = 2.0, sample_rate: int = 16000, **kw):
+        super().__init__(**kw)
+        self.samples = int(seconds * sample_rate)
+        self.sample_rate = sample_rate
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        while True:
+            wav = rng.normal(0, 0.1, (self.samples,)).astype(np.float32)
+            yield {"flac": wav, "sample_rate": self.sample_rate,
+                   "txt": self.CAPTIONS[int(rng.integers(len(self.CAPTIONS)))]}
+
+
+class SyntheticGrounding:
+    """(image, caption, box xywh) triples with the box drawn in the image."""
+
+    def __init__(self, size: int = 96, seed: int = 0, length: int = 1 << 30):
+        self.size = size
+        self.seed = seed
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(self.seed + index)
+        img = rng.integers(0, 256, (self.size, self.size, 3), np.uint8)
+        x, y = rng.integers(0, self.size // 2, 2)
+        w, h = rng.integers(8, self.size // 2, 2)
+        img[y: y + h, x: x + w] = rng.integers(0, 256, 3, np.uint8)
+        name = SyntheticImageText.CAPTIONS[
+            int(rng.integers(len(SyntheticImageText.CAPTIONS)))]
+        mask = np.zeros((self.size, self.size), np.uint8)
+        mask[y: y + h, x: x + w] = 1
+        return dict(image=img, caption=name,
+                    box=np.array([x, y, w, h], np.float32), mask=mask)
+
+
+class SyntheticStory:
+    """HDF5-story stand-in: 5-frame image sequences + per-frame texts
+    (pororo/flintstones schema, cf. pororo.py:17-60)."""
+
+    def __init__(self, size: int = 64, num_frames: int = 5, seed: int = 0,
+                 length: int = 64):
+        self.size = size
+        self.num_frames = num_frames
+        self.seed = seed
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(self.seed + index)
+        frames = rng.integers(
+            0, 256, (self.num_frames, self.size, self.size, 3), np.uint8)
+        texts = [f"frame {i} of story {index}" for i in range(self.num_frames)]
+        return dict(images=frames, texts=texts)
+
+
+class Hdf5Story:
+    """Real pororo/flintstones HDF5 reader (gated on h5py)."""
+
+    def __init__(self, path: str, image_key: str = "image",
+                 text_key: str = "text"):
+        import h5py  # noqa: F401 — raises if unavailable
+
+        self.path = path
+        self.image_key = image_key
+        self.text_key = text_key
+        self._h5 = None
+
+    def _file(self):
+        import h5py
+
+        if self._h5 is None:
+            self._h5 = h5py.File(self.path, "r")
+        return self._h5
+
+    def __len__(self):
+        return len(self._file()[self.image_key])
+
+    def __getitem__(self, index: int):
+        f = self._file()
+        images = np.asarray(f[self.image_key][index])
+        texts = [t.decode() if isinstance(t, bytes) else str(t)
+                 for t in f[self.text_key][index]]
+        return dict(images=images, texts=texts)

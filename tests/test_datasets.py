@@ -1,0 +1,115 @@
+import itertools
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+import spider_tpu.datasets  # registers builders
+from spider_tpu.common.config import ConfigDict
+from spider_tpu.common.registry import registry
+from spider_tpu.datasets.backends import TarShardSource
+from spider_tpu.datasets.utils.loaders import (IterLoader, MultiIterLoader,
+                                               PrefetchLoader, batched,
+                                               collate_samples)
+
+ALL_BUILDERS = [
+    "i2t_cc_sbu", "v2t_webvid", "a2t_audiocap",
+    "t2i_cc_sbu", "t2v_webvid", "t2a_audiocap",
+    "t2i_ts_cc_sbu", "t2v_ts_webvid", "t2a_ts_audiocap",
+    "t2v_ts_mul_webvid", "t2v_ts_spec_webvid",
+    "i2t_ts_cc_sbu", "v2t_ts_webvid", "a2t_ts_audiocap",
+    "it2b_refcoco", "it2m_refcoco", "it2b_ts_refcoco", "it2m_ts_refcoco",
+    "travel_guide", "pororo", "flintstones",
+]
+
+
+def test_all_21_builders_registered():
+    for name in ALL_BUILDERS:
+        assert registry.get_builder_class(name) is not None, name
+
+
+@pytest.mark.parametrize("name", ALL_BUILDERS)
+def test_builder_yields_valid_samples(name):
+    cls = registry.get_builder_class(name)
+    cfg = ConfigDict({"build_info": {"synthetic_size": 32, "num_samples": 4,
+                                     "image_size": 28, "num_clips": 2,
+                                     "num_mels": 16, "target_length": 20,
+                                     "sam_size": 64}})
+    ds = cls(cfg).build_datasets()
+    sample = next(iter(ds))
+    assert {"Question", "TaskPrompt", "Answer"} <= set(sample)
+    assert sample["TaskPrompt"].startswith("[") and sample["TaskPrompt"].endswith("]")
+    # answers with placeholders reference a modality present in the question
+    if "Placeholder" in sample["Answer"]:
+        assert "<" in sample["Answer"]
+
+
+def test_t2x_sample_tensor_shapes():
+    cls = registry.get_builder_class("t2i_cc_sbu")
+    cfg = ConfigDict({"build_info": {"image_size": 28}})
+    sample = next(iter(cls(cfg).build_datasets()))
+    assert sample["IMAGE"].shape == (3, 2, 28, 28)
+    assert sample["TaskPrompt"] == "[IMAGE]"
+    assert "<IMAGE-Placeholder>" in sample["Answer"]
+    assert sample["Caption"] in sample["Answer"]
+
+
+def test_grounding_sample_contract():
+    cls = registry.get_builder_class("it2m_refcoco")
+    cfg = ConfigDict({"build_info": {"synthetic_size": 48, "sam_size": 64,
+                                     "num_samples": 2}})
+    ds = cls(cfg).build_datasets()
+    sample = ds[0]
+    assert sample["TaskPrompt"] == "[MASK]"
+    assert sample["IMAGE_SAM"].shape == (3, 64, 64)
+    assert sample["MASK"].shape == (64, 64)
+    assert set(sample["Meta_info"]) >= {"original_shape", "sam_shape",
+                                        "original_box"}
+    # box scaled into the 512 frame, xyxy ordered
+    box = sample["BOX"]
+    assert box[2] >= box[0] and box[3] >= box[1]
+
+
+def test_multi_iter_loader_deterministic():
+    a = itertools.repeat("a")
+    b = itertools.repeat("b")
+    l1 = MultiIterLoader([iter(a), iter(b)], ratios=[9, 1], seed=7)
+    l2 = MultiIterLoader([itertools.repeat("a"), itertools.repeat("b")],
+                         ratios=[9, 1], seed=7)
+    seq1 = [next(l1) for _ in range(20)]
+    seq2 = [next(l2) for _ in range(20)]
+    assert seq1 == seq2
+    assert seq1.count("a") > seq1.count("b")
+
+
+def test_iter_loader_epochs():
+    loader = IterLoader([1, 2, 3])
+    out = [next(loader) for _ in range(7)]
+    assert out == [1, 2, 3, 1, 2, 3, 1]
+    assert loader.epoch == 2
+
+
+def test_prefetch_and_batched():
+    data = [{"x": np.ones((2, 2)) * i, "Caption": f"c{i}"} for i in range(6)]
+    pf = PrefetchLoader(data, depth=2)
+    batches = list(batched(iter(pf), 3))
+    assert len(batches) == 2
+    assert len(batches[0]["x"]) == 3
+    assert batches[0]["Caption"] == ["c0", "c1", "c2"]
+
+
+def test_tar_shard_source(tmp_path):
+    shard = tmp_path / "shard-000.tar"
+    with tarfile.open(shard, "w") as tf:
+        for i in range(3):
+            txt = f"caption {i}".encode()
+            info = tarfile.TarInfo(f"{i:05d}.txt")
+            info.size = len(txt)
+            import io
+
+            tf.addfile(info, io.BytesIO(txt))
+    src = TarShardSource(str(shard), shuffle_buffer=2, seed=0, resample=False)
+    samples = list(itertools.islice(iter(src), 3))
+    assert len(samples) == 3
+    assert all("txt" in s for s in samples)
