@@ -99,6 +99,24 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
         max_context_len=max_context_len)
 
 
+def build_spider_from_config(model_config: Dict) -> "Spider":
+    """Config blob -> Spider. preset='tiny' builds the hermetic test-scale
+    model; otherwise checkpoints are loaded through the converters
+    (spider_tpu.models.convert) when paths are provided."""
+    from spider_tpu.models.spider import Spider  # noqa: F401
+
+    cfg = dict(model_config)
+    preset = cfg.pop("preset", "tiny")
+    if preset == "tiny":
+        keys = {k: cfg[k] for k in
+                ("use_moe_aligner", "with_pipes", "modality_tokens", "lora_r",
+                 "max_context_len") if k in cfg}
+        return build_tiny_spider(**keys)
+    raise NotImplementedError(
+        f"preset {preset!r}: full-size assembly requires converted "
+        "checkpoints (see spider_tpu/models/convert.py)")
+
+
 def _init_moe_all(model: TextFcLayerMoE, rng, hidden_size, align_specs):
     """Init the MoE aligner with every modality's heads present: flax creates
     params lazily per call path, so run one init per modality and merge."""

@@ -1,0 +1,236 @@
+"""Training runner — the DeepSpeed-free rebuild of
+/root/reference/spider/runners/runner_base.py:48-560.
+
+Responsibilities: ratio-mixed dataloaders, the jitted-per-(task, length-
+bucket) train step over Spider's trainable params, AdamW with warmup-decay
+(ds_config.json analogue), frozen-row embedding masking, metric logging with
+cross-process sync, orbax checkpoint save/resume, eval epochs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from spider_tpu.common.logger import MetricLogger, SmoothedValue
+from spider_tpu.common.optims import build_schedule
+from spider_tpu.common.registry import registry
+from spider_tpu.datasets.utils.loaders import (MultiIterLoader, batched,
+                                               collate_samples)
+from spider_tpu.models.spider import IGNORE, PreparedBatch, Spider
+from spider_tpu.parallel import partition
+
+
+def _pad_to_bucket(batch: PreparedBatch, bucket: int,
+                   pad_id: int) -> PreparedBatch:
+    """Pad sequence length to the next multiple of `bucket` so jit caches a
+    bounded number of programs (ragged-batch design, SURVEY.md §7.2)."""
+    B, L = batch.input_ids.shape
+    target = ((L + bucket - 1) // bucket) * bucket
+    if target == L:
+        return batch
+    padl = target - L
+
+    def pad2(a, fill):
+        return np.pad(a, ((0, 0), (0, padl)), constant_values=fill)
+
+    return dataclasses.replace(
+        batch,
+        input_ids=pad2(batch.input_ids, pad_id),
+        targets=pad2(batch.targets, IGNORE),
+        slot_mask={m: pad2(v, False) for m, v in batch.slot_mask.items()},
+        slot_index={m: pad2(v, 0) for m, v in batch.slot_index.items()},
+    )
+
+
+@registry.register_runner("runner_base")
+class RunnerBase:
+    def __init__(self, cfg, task, model: Spider, datasets, job_id: str):
+        self.config = cfg
+        self.task = task
+        self.model = model
+        self.datasets = datasets
+        self.job_id = job_id
+
+        run = cfg.run
+        self.max_epoch = int(run.get("max_epoch", 1))
+        self.iters_per_epoch = int(run.get("iters_per_epoch", 100))
+        self.log_freq = int(run.get("log_freq", 50))
+        self.seed = int(run.get("seed", 42))
+        self.length_bucket = int(run.get("length_bucket", 32))
+        self.output_dir = run.get("output_dir", "output/" + job_id)
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.start_epoch = 0
+
+        schedule = build_schedule(
+            run.get("lr_sched", "warmup_decay_lr"),
+            init_lr=float(run.get("init_lr", 1e-4)),
+            min_lr=float(run.get("min_lr", 0.0)),
+            warmup_steps=int(run.get("warmup_steps", 500)),
+            total_steps=self.max_epoch * self.iters_per_epoch,
+            decay_rate=float(run.get("lr_decay_rate", 0.9)),
+            steps_per_epoch=self.iters_per_epoch,
+        )
+        trainable_patterns = run.get("trainable_patterns")
+        params = model.trainable_params()
+        from spider_tpu.runners.train_step import build_optimizer
+
+        self.tx = build_optimizer(
+            schedule,
+            weight_decay=float(run.get("weight_decay", 0.0)),
+            max_grad_norm=float(run.get("max_grad_norm", 1.0)),
+            grad_accum_steps=int(run.get("accum_grad_iters", 1)),
+            num_frozen_embed_rows=int(run.get("num_frozen_embed_rows", 0)),
+            trainable_patterns=tuple(trainable_patterns)
+            if trainable_patterns else None,
+            params=params,
+        )
+        self.params = params
+        self.opt_state = self.tx.init(params)
+        self.global_step = 0
+        self._step_cache: Dict[Any, Callable] = {}
+        self._loaders: Optional[Dict[str, Any]] = None
+
+    # ------------------------------------------------------------- loaders
+    @property
+    def dataloaders(self) -> Dict[str, Any]:
+        if self._loaders is None:
+            self._loaders = {}
+            for split, entries in self.datasets.items():
+                iters, ratios = [], []
+                for name, entry in entries.items():
+                    iters.append(batched(iter(entry["dataset"]),
+                                         entry["batch_size"]))
+                    ratios.append(entry["sample_ratio"])
+                self._loaders[split] = MultiIterLoader(iters, ratios,
+                                                       seed=self.seed)
+        return self._loaders
+
+    # ---------------------------------------------------------- train step
+    def _jitted_step(self, task: str, shape_key):
+        key = (task, shape_key)
+        if key not in self._step_cache:
+            spider = self.model
+            tx = self.tx
+
+            def step(params, opt_state, batch_dict, modality_embeds, cond):
+                batch = PreparedBatch(**batch_dict)
+
+                def loss_fn(p):
+                    out = spider.compute_loss(p, batch, modality_embeds,
+                                              cond, task)
+                    return out["loss"], out
+
+                grads, out = jax.grad(loss_fn, has_aux=True)(params)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                return new_params, new_opt, out
+
+            self._step_cache[key] = jax.jit(step)
+        return self._step_cache[key]
+
+    def train_step(self, samples: Dict[str, Any]) -> Dict[str, float]:
+        spider = self.model
+        task_prompt = samples.get("TaskPrompt", ["[TEXT]"])[0]
+        task = task_prompt[1:-1]
+
+        batch = spider.prepare_batch(samples)
+        batch = _pad_to_bucket(batch, self.length_bucket,
+                               spider.tokenizer.pad_token_id)
+        modality_embeds = spider.encode_modalities(batch)
+        cond = None
+        if task in ("IMAGE", "VIDEO", "AUDIO") \
+                and task in spider.diffusion_pipes and "Caption" in samples:
+            cond = spider.diffusion_pipes[task](
+                prompt=samples["Caption"], return_prompts_only=True)
+
+        batch_dict = dataclasses.asdict(batch)
+        shape_key = (batch.input_ids.shape,
+                     tuple(sorted((m, v.shape) for m, v in
+                                  batch.modality_inputs.items())),
+                     cond is not None and tuple(np.shape(cond)))
+        step = self._jitted_step(task, shape_key)
+        self.params, self.opt_state, out = step(
+            self.params, self.opt_state, batch_dict, modality_embeds, cond)
+        self.global_step += 1
+        return {k: float(v) for k, v in out.items()}
+
+    # -------------------------------------------------------------- epochs
+    def train_epoch(self, epoch: int) -> Dict[str, str]:
+        metric_logger = MetricLogger(delimiter="  ")
+        metric_logger.add_meter("lr", SmoothedValue(window_size=1,
+                                                    fmt="{value:.6f}"))
+        loader = self.dataloaders["train"]
+        header = f"Train: data epoch: [{epoch}]"
+        for _ in metric_logger.log_every(range(self.iters_per_epoch),
+                                         self.log_freq, header):
+            samples = next(loader)
+            metrics = self.train_step(samples)
+            metric_logger.update(**metrics)
+            metric_logger.update(lr=0.0)
+        metric_logger.synchronize_between_processes()
+        self.model.update_params(self.params)
+        return {k: f"{m.global_avg:.3f}" for k, m in metric_logger.meters.items()}
+
+    def eval_epoch(self, split: str = "val", max_batches: int = 8):
+        if split not in self.dataloaders:
+            return None
+        self.model.update_params(self.params)
+        return self.task.evaluation(self.model, self.dataloaders[split],
+                                    max_batches)
+
+    def train(self) -> Dict[str, Any]:
+        start = time.time()
+        resume_path = self.config.run.get("resume_ckpt_path")
+        if resume_path:
+            self.load_checkpoint(resume_path)
+        stats = {}
+        for epoch in range(self.start_epoch, self.max_epoch):
+            stats = self.train_epoch(epoch)
+            logging.info("epoch %d: %s", epoch, stats)
+            self.save_checkpoint(epoch)
+        logging.info("Training time %.1fs", time.time() - start)
+        return stats
+
+    # --------------------------------------------------------- checkpoints
+    def _ckpt_dir(self, epoch: int) -> str:
+        return os.path.join(os.path.abspath(self.output_dir),
+                            f"checkpoint_{epoch}")
+
+    def save_checkpoint(self, epoch: int) -> str:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(epoch)
+        ckptr = ocp.PyTreeCheckpointer()
+        state = dict(params=self.params, opt_state=self.opt_state,
+                     step=jnp.asarray(self.global_step),
+                     epoch=jnp.asarray(epoch))
+        ckptr.save(path, state, force=True)
+        logging.info("Saved checkpoint to %s", path)
+        return path
+
+    def load_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        abstract = dict(params=self.params, opt_state=self.opt_state,
+                        step=jnp.asarray(0), epoch=jnp.asarray(0))
+        restored = ckptr.restore(path, item=abstract)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.global_step = int(restored["step"])
+        self.start_epoch = int(restored["epoch"]) + 1
+        self.model.update_params(self.params)
+        logging.info("Resumed from %s (epoch %d)", path, self.start_epoch)
+
+    # ----------------------------------------------------------------- misc
+    def model_forward(self, samples):
+        return self.model.forward(samples)
