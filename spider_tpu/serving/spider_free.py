@@ -1,0 +1,107 @@
+"""SpiderFree — the training-free any-to-many stack: a stock instruction LLM
+prompted to emit tag grammar, parsed and dispatched by SpiderDecoder
+(cf. /root/reference/qwen2.5omni_spider_web.py:42-69,458-600 and
+spider_decoder_infer.py).
+
+The chat backbone is pluggable: `chat_fn(prompt: str) -> str`. Default is the
+in-framework jitted Llama decoder (DeepSeek-R1-Distill-Llama-8B class);
+Qwen2.5-Omni or any external model slots in through the same callable.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Callable, Dict, List, Optional
+
+from spider_tpu.models import tags
+from spider_tpu.models.spider_decoder import SpiderDecoderInfer
+
+
+def build_system_prompt(cfg_model: Dict[str, Any]) -> str:
+    """Assemble the SpiderFree system prompt from the decoder config
+    (qwen2.5omni_spider_web.py:55-69: base prompt + per-decoder addenda)."""
+    parts = [cfg_model.get("system_prompt", "")]
+    for key in ("system_prompt_image", "system_prompt_video",
+                "system_prompt_audio", "system_prompt_mask",
+                "system_prompt_box", "system_prompt_story"):
+        addendum = cfg_model.get(key, "")
+        if addendum:
+            parts.append(addendum)
+    return "".join(parts)
+
+
+def extract_answer(response: str) -> str:
+    """Strip reasoning blocks and role scaffolding from a chat response
+    (qwen2.5omni_spider_web.py extract_answer analogue)."""
+    response = tags.strip_think(response)
+    for marker in ("assistant\n", "Assistant:", "ASSISTANT:"):
+        if marker in response:
+            response = response.split(marker)[-1]
+    return response.strip()
+
+
+class SpiderFree:
+    """chat -> parse -> dispatch. Produces per-tag media like the reference's
+    streaming loop (qwen2.5omni_spider_web.py:524-588), returned as a list of
+    (kind, payload) events."""
+
+    def __init__(self, cfg, chat_fn: Callable[[str], str],
+                 decoders: Optional[Dict[str, Callable]] = None,
+                 story_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.chat_fn = chat_fn
+        self.system_prompt = build_system_prompt(dict(cfg.model))
+        self.decoder_infer = SpiderDecoderInfer(cfg, decoders=decoders,
+                                                story_fn=story_fn)
+
+    def chat(self, user_text: str,
+             extra_inputs: Optional[Dict[str, Any]] = None):
+        prompt = f"{self.system_prompt}\nUser: {user_text}\nOutput:"
+        raw = self.chat_fn(prompt)
+        answer = extract_answer(raw)
+        ask_info: Dict[str, Any] = dict(extra_inputs or {})
+        ask_info["llm_text_all"] = [answer]
+        answers, predictions, predictions_text = self.decoder_infer(ask_info)
+        events: List = [("text", answer)]
+        for modality in ("IMAGE", "VIDEO", "AUDIO", "MASK"):
+            for i, media in enumerate(predictions[modality]):
+                caption = (predictions_text[modality][i]
+                           if i < len(predictions_text[modality]) else "")
+                events.append((modality.lower(), dict(media=media,
+                                                      caption=caption)))
+        for i, boxes in enumerate(predictions["BOX"]["bboxes"]):
+            events.append(("box", dict(bboxes=boxes,
+                                       labels=predictions["BOX"]["label_names"][i],
+                                       scores=predictions["BOX"]["scores"][i])))
+        for story in predictions["IMAGESTORY"]:
+            events.append(("story", dict(images=story)))
+        return events, answers, predictions, predictions_text
+
+
+def make_llama_chat_fn(model, params, tokenizer, max_new_tokens: int = 512,
+                       temperature: float = 0.0):
+    """Default chat backbone: jitted greedy/top-p decode on the in-framework
+    Llama (the r1_llama3_8B path, cf. /root/reference/r1_llama3_8B_infer.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spider_tpu.models.decode import GenerateConfig, generate
+
+    def chat_fn(prompt: str) -> str:
+        ids = tokenizer(prompt, add_special_tokens=True).input_ids
+        arr = jnp.asarray([ids], jnp.int32)
+        embeds = model.apply(params, arr, method=model.embed)
+        out = generate(
+            model, params, embeds,
+            jnp.asarray([len(ids)], jnp.int32),
+            GenerateConfig(max_new_tokens=max_new_tokens,
+                           temperature=temperature,
+                           eos_ids=(tokenizer.eos_token_id,),
+                           pad_id=tokenizer.pad_token_id))
+        toks = [int(t) for t in np.asarray(out["tokens"][0])
+                if int(t) != tokenizer.pad_token_id]
+        return tokenizer.decode(toks, skip_special_tokens=True)
+
+    return chat_fn

@@ -1,0 +1,104 @@
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from spider_tpu.common.config import Config
+from spider_tpu.serving.spider_free import (SpiderFree, build_system_prompt,
+                                            extract_answer)
+
+
+@pytest.fixture(scope="module")
+def decoder_cfg():
+    import os
+
+    return Config.fromfile(os.path.join(os.path.dirname(__file__), "..",
+                                        "train_configs",
+                                        "spider_decoder_cfg.py"))
+
+
+def test_build_system_prompt(decoder_cfg):
+    sp = build_system_prompt(dict(decoder_cfg.model))
+    assert "<IMAGE>" in sp and "<IMAGESTORY>" in sp
+    assert "STYLENAME" in sp
+
+
+def test_extract_answer_strips_think_and_roles():
+    assert extract_answer("thinking...</think>real answer") == "real answer"
+    assert extract_answer("system stuff\nassistant\nhello") == "hello"
+
+
+def _echo_chat(response):
+    return lambda prompt: response
+
+
+def test_spider_free_end_to_end(decoder_cfg):
+    calls = {}
+
+    def image_fn(prompts, **kw):
+        calls.setdefault("IMAGE", []).append(prompts)
+        return [np.zeros((8, 8, 3), np.float32)]
+
+    def audio_fn(prompts, **kw):
+        calls.setdefault("AUDIO", []).append(prompts)
+        return [np.zeros((64,), np.float32)]
+
+    sf = SpiderFree(
+        decoder_cfg,
+        _echo_chat("Horse<IMAGE>Running horse</IMAGE>, "
+                   "gallop<AUDIO>Horse galloping</AUDIO>"),
+        decoders={"IMAGE": image_fn, "AUDIO": audio_fn})
+    events, answers, predictions, predictions_text = sf.chat(
+        "Please generate image and audio for a running horse.")
+    kinds = [k for k, _ in events]
+    assert kinds[0] == "text"
+    assert "image" in kinds and "audio" in kinds
+    assert calls["IMAGE"] == [["Running horse"]]
+    assert predictions_text["AUDIO"] == ["Horse galloping"]
+
+
+def test_spider_free_story(decoder_cfg):
+    def story_fn(general_prompt, prompt_array, style_name):
+        return [np.zeros((8, 8, 3))] * len(prompt_array)
+
+    sf = SpiderFree(
+        decoder_cfg,
+        _echo_chat("<IMAGESTORY><GENERALPROMPT>a cat</GENERALPROMPT>,"
+                   "<PROMPTARRAY>['sleeps','eats']</PROMPTARRAY>,"
+                   "<STYLENAME>Photographic</STYLENAME></IMAGESTORY>"),
+        decoders={}, story_fn=story_fn)
+    events, answers, predictions, _ = sf.chat("Tell a story about a cat")
+    assert ("story", {"images": predictions["IMAGESTORY"][0]}) in events or \
+        any(k == "story" for k, _ in events)
+
+
+def test_http_server_roundtrip(decoder_cfg):
+    from spider_tpu.serving.http_server import serve
+
+    sf = SpiderFree(decoder_cfg,
+                    _echo_chat("plain text answer with no tags"),
+                    decoders={})
+    server = serve(sf, port=0, background=True)
+    port = server.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/chat",
+        data=json.dumps({"text": "hi"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        out = json.loads(resp.read())
+    assert out["answer"] == "plain text answer with no tags"
+    assert out["events"] == []
+    server.shutdown()
+
+
+def test_spider_inference_api():
+    from spider_tpu.models.factory import build_tiny_spider
+    from spider_tpu.serving.inference_api import SpiderInference
+
+    spider = build_tiny_spider()
+    infer = SpiderInference(cfg=None, model=spider)
+    answers, predictions, predictions_text = infer(
+        {"Question": ["draw a cat"], "TaskPrompt": ["[IMAGE]"]},
+        max_new_tokens=6, num_inference_steps=2)
+    assert len(answers) == 1
