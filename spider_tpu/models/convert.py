@@ -1,0 +1,250 @@
+"""Checkpoint converters: torch/HF state dicts -> spider-tpu param trees.
+
+Covers the external checkpoints Spider loads (SURVEY.md §7.2 "weight
+conversion for 6 external checkpoints"): Llama/DeepSeek (HF), CLIP text
+encoders, diffusers AutoencoderKL, BERT, SAM. Conventions:
+  * torch Linear weight [out, in] -> flax kernel [in, out] (transpose)
+  * torch Conv2d weight [out, in, kh, kw] -> flax [kh, kw, in, out]
+  * scanned Llama layers stack per-layer tensors on a leading [L] axis
+  * optional int8 weight-only quantization of Llama projections.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w, np.float32).T
+
+
+def _conv(w) -> np.ndarray:
+    """[out, in, kh, kw] -> [kh, kw, in, out]."""
+    return np.asarray(w, np.float32).transpose(2, 3, 1, 0)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load .safetensors shards or torch .bin/.pth into numpy."""
+    out: Dict[str, np.ndarray] = {}
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.endswith((".safetensors", ".bin", ".pth", ".pt")))
+        for f in files:
+            out.update(load_torch_state_dict(os.path.join(path, f)))
+        return out
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return {k: np.asarray(v) for k, v in load_file(path).items()}
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Llama / DeepSeek-R1-Distill-Llama
+# ---------------------------------------------------------------------------
+
+def convert_llama_state_dict(sd: Dict[str, np.ndarray], cfg,
+                             quantize: Optional[str] = None) -> Dict:
+    """HF LlamaForCausalLM names -> scanned flax tree."""
+    L = cfg.num_hidden_layers
+
+    def stack(fmt: str, transpose=True):
+        ws = [sd[fmt.format(i)] for i in range(L)]
+        ws = [_t(w) if transpose else np.asarray(w, np.float32) for w in ws]
+        return np.stack(ws, axis=0)
+
+    def proj(arr):
+        if quantize == "int8":
+            scale = np.max(np.abs(arr), axis=-2, keepdims=True) / 127.0
+            scale = np.maximum(scale, 1e-8)
+            q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+            return {"kernel_q": q, "kernel_scale": scale.squeeze(-2)}
+        return {"kernel": arr}
+
+    attn = {
+        name: proj(stack(f"model.layers.{{}}.self_attn.{name}.weight"))
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj")
+    }
+    mlp = {
+        name: proj(stack(f"model.layers.{{}}.mlp.{name}.weight"))
+        for name in ("gate_proj", "up_proj", "down_proj")
+    }
+    params = {
+        "embed_tokens": {"embedding": np.asarray(
+            sd["model.embed_tokens.weight"], np.float32)},
+        "model": {
+            "layers": {
+                "self_attn": attn,
+                "mlp": mlp,
+                "input_layernorm": stack(
+                    "model.layers.{}.input_layernorm.weight", transpose=False),
+                "post_attention_layernorm": stack(
+                    "model.layers.{}.post_attention_layernorm.weight",
+                    transpose=False),
+            },
+            "norm": np.asarray(sd["model.norm.weight"], np.float32),
+        },
+    }
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": _t(sd["lm_head.weight"])}
+    return {"params": _to_jnp(params)}
+
+
+def _to_jnp(tree):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+
+
+def convert_llama_checkpoint(path: str, quantize: Optional[str] = None):
+    """HF checkpoint dir (config.json + weights) -> (LlamaConfig, params)."""
+    import dataclasses
+
+    from spider_tpu.models import llama as L
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    rope_scaling = hf.get("rope_scaling")
+    if rope_scaling and "rope_type" in rope_scaling:
+        rope_scaling = {k: v for k, v in rope_scaling.items()
+                        if k != "rope_type"}
+    cfg = L.LlamaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads",
+                                   hf["num_attention_heads"]),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=rope_scaling,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quantization=quantize,
+    )
+    sd = load_torch_state_dict(path)
+    params = convert_llama_state_dict(sd, cfg, quantize)
+    return cfg, params
+
+
+def extend_llama_embeddings(params: Dict, new_vocab_size: int,
+                            rng=None) -> Dict:
+    """resize_token_embeddings analogue (spider.py:177): copy old rows,
+    normal-init new ones. Returns a new tree."""
+    import jax
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    p = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    emb = np.asarray(p["params"]["embed_tokens"]["embedding"])
+    V, H = emb.shape
+    if new_vocab_size > V:
+        mean, std = emb.mean(0), emb.std(0).mean()
+        extra = np.random.default_rng(0).normal(
+            0, 0.02, (new_vocab_size - V, H)).astype(emb.dtype) + mean
+        p["params"]["embed_tokens"]["embedding"] = jnp.asarray(
+            np.concatenate([emb, extra], axis=0))
+        if "lm_head" in p["params"]:
+            head = np.asarray(p["params"]["lm_head"]["kernel"])
+            extra_h = np.random.default_rng(1).normal(
+                0, 0.02, (H, new_vocab_size - V)).astype(head.dtype)
+            p["params"]["lm_head"]["kernel"] = jnp.asarray(
+                np.concatenate([head, extra_h], axis=1))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder (openai/clip-vit-* text_model.* naming)
+# ---------------------------------------------------------------------------
+
+def convert_clip_text_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    pre = "text_model."
+    if not any(k.startswith(pre) for k in sd):
+        pre = ""
+    p: Dict[str, Any] = {
+        "token_embedding": {"embedding": np.asarray(
+            sd[f"{pre}embeddings.token_embedding.weight"], np.float32)},
+        "position_embedding": np.asarray(
+            sd[f"{pre}embeddings.position_embedding.weight"], np.float32),
+        "final_layer_norm": {
+            "scale": np.asarray(sd[f"{pre}final_layer_norm.weight"], np.float32),
+            "bias": np.asarray(sd[f"{pre}final_layer_norm.bias"], np.float32)},
+    }
+    for i in range(cfg.num_hidden_layers):
+        b = f"{pre}encoder.layers.{i}."
+        p[f"layers_{i}"] = {
+            "layer_norm1": {"scale": np.asarray(sd[b + "layer_norm1.weight"]),
+                            "bias": np.asarray(sd[b + "layer_norm1.bias"])},
+            "layer_norm2": {"scale": np.asarray(sd[b + "layer_norm2.weight"]),
+                            "bias": np.asarray(sd[b + "layer_norm2.bias"])},
+            **{n: {"kernel": _t(sd[b + f"self_attn.{n}.weight"]),
+                   "bias": np.asarray(sd[b + f"self_attn.{n}.bias"])}
+               for n in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "fc1": {"kernel": _t(sd[b + "mlp.fc1.weight"]),
+                    "bias": np.asarray(sd[b + "mlp.fc1.bias"])},
+            "fc2": {"kernel": _t(sd[b + "mlp.fc2.weight"]),
+                    "bias": np.asarray(sd[b + "mlp.fc2.bias"])},
+        }
+    if "text_projection.weight" in sd and cfg.projection_dim:
+        p["text_projection"] = {"kernel": _t(sd["text_projection.weight"])}
+    return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# BERT (bert-base-uncased naming)
+# ---------------------------------------------------------------------------
+
+def convert_bert_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    pre = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    p: Dict[str, Any] = {
+        "word_embeddings": {"embedding": np.asarray(
+            sd[f"{pre}embeddings.word_embeddings.weight"], np.float32)},
+        "position_embeddings": {"embedding": np.asarray(
+            sd[f"{pre}embeddings.position_embeddings.weight"], np.float32)},
+        "token_type_embeddings": {"embedding": np.asarray(
+            sd[f"{pre}embeddings.token_type_embeddings.weight"], np.float32)},
+        "embed_ln": {
+            "scale": np.asarray(sd[f"{pre}embeddings.LayerNorm.weight"]),
+            "bias": np.asarray(sd[f"{pre}embeddings.LayerNorm.bias"])},
+        "pooler": {"kernel": _t(sd[f"{pre}pooler.dense.weight"]),
+                   "bias": np.asarray(sd[f"{pre}pooler.dense.bias"])}
+        if f"{pre}pooler.dense.weight" in sd else
+        {"kernel": np.zeros((cfg.hidden_size, cfg.hidden_size), np.float32),
+         "bias": np.zeros((cfg.hidden_size,), np.float32)},
+    }
+    for i in range(cfg.num_hidden_layers):
+        b = f"{pre}encoder.layer.{i}."
+        p[f"layer_{i}"] = {
+            "query": {"kernel": _t(sd[b + "attention.self.query.weight"]),
+                      "bias": np.asarray(sd[b + "attention.self.query.bias"])},
+            "key": {"kernel": _t(sd[b + "attention.self.key.weight"]),
+                    "bias": np.asarray(sd[b + "attention.self.key.bias"])},
+            "value": {"kernel": _t(sd[b + "attention.self.value.weight"]),
+                      "bias": np.asarray(sd[b + "attention.self.value.bias"])},
+            "attn_out": {"kernel": _t(sd[b + "attention.output.dense.weight"]),
+                         "bias": np.asarray(sd[b + "attention.output.dense.bias"])},
+            "attn_ln": {
+                "scale": np.asarray(sd[b + "attention.output.LayerNorm.weight"]),
+                "bias": np.asarray(sd[b + "attention.output.LayerNorm.bias"])},
+            "intermediate": {"kernel": _t(sd[b + "intermediate.dense.weight"]),
+                             "bias": np.asarray(sd[b + "intermediate.dense.bias"])},
+            "output": {"kernel": _t(sd[b + "output.dense.weight"]),
+                       "bias": np.asarray(sd[b + "output.dense.bias"])},
+            "out_ln": {"scale": np.asarray(sd[b + "output.LayerNorm.weight"]),
+                       "bias": np.asarray(sd[b + "output.LayerNorm.bias"])},
+        }
+    return {"params": _to_jnp(p)}
