@@ -29,6 +29,7 @@ AXIS_DATA = "data"
 AXIS_FSDP = "fsdp"
 AXIS_MODEL = "model"
 AXIS_EXPERT = "expert"
+AXIS_CONTEXT = "context"
 
 
 def init_distributed_mode(coordinator_address: Optional[str] = None,
@@ -120,18 +121,21 @@ def make_mesh(
     fsdp: int = 1,
     model: int = 1,
     expert: int = 1,
+    context: int = 1,
     *,
     devices=None,
     extra_axes: Sequence[str] = (),
 ) -> Mesh:
     """Create the global device mesh.
 
-    Axis order is (data, fsdp, model, expert[, extra...]) — data outermost so
-    DCN slices map to pure data parallelism while fsdp/model/expert ride ICI.
+    Axis order is (data, fsdp, model, expert, context[, extra...]) — data
+    outermost so DCN slices map to pure data parallelism while
+    fsdp/model/expert/context ride ICI.
     """
     devices = list(devices if devices is not None else jax.devices())
-    names = [AXIS_DATA, AXIS_FSDP, AXIS_MODEL, AXIS_EXPERT] + list(extra_axes)
-    sizes = [data, fsdp, model, expert] + [1] * len(extra_axes)
+    names = [AXIS_DATA, AXIS_FSDP, AXIS_MODEL, AXIS_EXPERT, AXIS_CONTEXT] \
+        + list(extra_axes)
+    sizes = [data, fsdp, model, expert, context] + [1] * len(extra_axes)
     shape = _factorize(len(devices), sizes)
     mesh_devices = np.asarray(devices).reshape(shape)
     return Mesh(mesh_devices, tuple(names))
