@@ -99,7 +99,7 @@ def convert_llama_state_dict(sd: Dict[str, np.ndarray], cfg,
         },
     }
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
-        params["lm_head"] = {"kernel": _t(sd["lm_head.weight"])}
+        params["lm_head"] = proj(_t(sd["lm_head.weight"]))
     return {"params": _to_jnp(params)}
 
 

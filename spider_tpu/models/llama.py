@@ -318,9 +318,11 @@ class LlamaForCausalLM(nn.Module):
             param_dtype=cfg.param_dtype, name="embed_tokens")
         self.model = LlamaModel(cfg, name="model")
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(
-                cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype, name="lm_head")
+            # lm_head reads ~1 GB/token at 128k vocab in bf16 — quantize it
+            # along with the projections when serving int8.
+            self.lm_head = LoraDense(
+                cfg.vocab_size, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                quantized=cfg.quantization == "int8", name="lm_head")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(input_ids)

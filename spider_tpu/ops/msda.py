@@ -6,11 +6,13 @@ Semantics: for each query, head, feature level and sampling point, bilinearly
 sample the value feature map at a predicted fractional location and blend
 with predicted attention weights.
 
-Two implementations:
-  * `msda_reference` — gather-based XLA (4-corner bilinear via
-    take_along_axis); correct everywhere, used on CPU and for VJP.
-  * `msda` — dispatcher (Pallas TPU kernel is a planned optimization; the
-    XLA form already vectorizes the gathers well on TPU).
+Implementation note (measured on v5e): Mosaic/Pallas exposes dynamic gathers
+only WITHIN one vector register along the gather dimension ("Multiple source
+vregs along gather dimension" otherwise), so an efficient Pallas kernel for
+arbitrary-location bilinear gathers over multi-thousand-row value maps is not
+expressible — the XLA `take_along_axis` formulation below IS the TPU-native
+form (XLA lowers it to hardware gather loops and fuses the bilinear blend).
+The four corner gathers are batched per level to minimize passes.
 """
 
 from __future__ import annotations
