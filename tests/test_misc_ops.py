@@ -1,0 +1,52 @@
+import jax.numpy as jnp
+import numpy as np
+
+from spider_tpu.common.profiler import StepTimer, device_memory_stats
+from spider_tpu.conversation.conversation import CONV_VISION, Conversation, SeparatorStyle
+from spider_tpu.ops.nms import batched_nms, box_iou, nms
+
+
+def test_box_iou():
+    a = jnp.array([[0, 0, 10, 10]], jnp.float32)
+    b = jnp.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], jnp.float32)
+    iou = np.asarray(box_iou(a, b))[0]
+    assert iou[0] == 1.0
+    assert 0.1 < iou[1] < 0.2
+    assert iou[2] == 0.0
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]],
+                      jnp.float32)
+    scores = jnp.array([0.9, 0.8, 0.7])
+    keep = np.asarray(nms(boxes, scores, iou_threshold=0.5, max_outputs=3))
+    assert keep[0] == 0 and keep[1] == 2 and keep[2] == -1
+
+
+def test_batched_nms_keeps_cross_class():
+    boxes = jnp.array([[0, 0, 10, 10], [1, 1, 11, 11]], jnp.float32)
+    scores = jnp.array([0.9, 0.8])
+    keep = np.asarray(batched_nms(boxes, scores, jnp.array([0, 1]),
+                                  iou_threshold=0.5, max_outputs=2))
+    assert set(keep.tolist()) == {0, 1}
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(3):
+        with t.step():
+            pass
+    s = t.summary()
+    assert s["steps_per_s"] > 0
+    assert isinstance(device_memory_stats(), dict)
+
+
+def test_conversation_prompt():
+    conv = CONV_VISION.copy()
+    conv.append_message(conv.roles[0], "hi")
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    assert p.endswith("Assistant:")
+    assert "hi" in p
+    chat = conv.to_gradio_chatbot()
+    assert chat == [["hi", None]]
