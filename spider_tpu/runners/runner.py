@@ -165,17 +165,30 @@ class RunnerBase:
 
     # -------------------------------------------------------------- epochs
     def train_epoch(self, epoch: int) -> Dict[str, str]:
+        import json
+
+        import jax as _jax
+
         metric_logger = MetricLogger(delimiter="  ")
         metric_logger.add_meter("lr", SmoothedValue(window_size=1,
                                                     fmt="{value:.6f}"))
         loader = self.dataloaders["train"]
         header = f"Train: data epoch: [{epoch}]"
+        metrics_path = os.path.join(self.output_dir, "metrics.jsonl")
+        mf = open(metrics_path, "a") if _jax.process_index() == 0 else None
         for _ in metric_logger.log_every(range(self.iters_per_epoch),
                                          self.log_freq, header):
             samples = next(loader)
             metrics = self.train_step(samples)
             metric_logger.update(**metrics)
             metric_logger.update(lr=0.0)
+            # per-iteration scalar stream (TensorBoard-writer analogue,
+            # runner_base.py:243-247)
+            if mf is not None:
+                mf.write(json.dumps({"step": self.global_step,
+                                     "epoch": epoch, **metrics}) + "\n")
+        if mf is not None:
+            mf.close()
         metric_logger.synchronize_between_processes()
         self.model.update_params(self.params)
         return {k: f"{m.global_avg:.3f}" for k, m in metric_logger.meters.items()}
