@@ -1,0 +1,66 @@
+"""Extended benchmark suite (BASELINE.json metrics beyond the headline
+decode number): SDXL-class denoise steps/s and SD-1.5 denoise steps/s at the
+reference operating points (768x768 story / 512x512 image, bf16, CFG).
+
+Writes bench_details.json and prints one JSON line per metric. bench.py
+remains the driver-facing single-line benchmark.
+"""
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_unet(name, cfg, latent_hw, ctx_tokens, added=None, iters=5):
+    from spider_tpu.models.unet2d import UNet2DConditionModel
+
+    cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    unet = UNet2DConditionModel(cfg)
+    B = 2  # CFG pair
+    x = jnp.zeros((B, latent_hw, latent_hw, cfg.in_channels), jnp.bfloat16)
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jnp.zeros((B, ctx_tokens, cfg.cross_attention_dim), jnp.bfloat16)
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx, added)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+    @jax.jit
+    def step(params, x):
+        return jnp.sum(unet.apply(params, x, t, ctx, added)
+                       .astype(jnp.float32))
+
+    s = step(params, x)
+    _ = float(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = step(params, x)
+    _ = float(s)
+    dt = (time.perf_counter() - t0) / iters
+    return dict(metric=f"{name} denoise steps/s (CFG pair, bf16)",
+                value=round(1.0 / dt, 2), unit="steps/s",
+                params_b=round(n_params / 1e9, 2),
+                ms_per_step=round(dt * 1e3, 1))
+
+
+def main():
+    from spider_tpu.models.unet2d import unet_sd15, unet_sdxl
+
+    results = []
+    # SD-1.5 at 512x512 (latent 64), 77 context tokens
+    results.append(bench_unet("SD-1.5 512px", unet_sd15(), 64, 77))
+    # SDXL at 768x768 (latent 96), 77 tokens, pooled+time_ids added cond
+    added = dict(text_embeds=jnp.zeros((2, 1280), jnp.bfloat16),
+                 time_ids=jnp.zeros((2, 6), jnp.float32))
+    results.append(bench_unet("SDXL 768px", unet_sdxl(), 96, 77, added))
+
+    with open("bench_details.json", "w") as f:
+        json.dump(results, f, indent=2)
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,8 +99,10 @@ def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(run)
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)  # [block_q, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [block_k, D]
+        # Keep matmul operands in the input dtype (bf16 on the serving path)
+        # so the MXU runs in its fast mode; accumulate in fp32.
+        q = q_ref[0, 0]                      # [block_q, D]
+        k = k_ref[0, 0]                      # [block_k, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale  # [block_q, block_k]
@@ -116,9 +118,9 @@ def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_scratch[:] + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)             # [block_k, D]
+        v = v_ref[0, 0]                                 # [block_k, D]
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_scratch[:] = acc_scratch[:] * alpha + pv
         m_scratch[:] = m_new
@@ -146,9 +148,17 @@ def _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
+    # Static causal offset when known at trace time: enables skipping the
+    # DMA of fully-masked KV blocks below (the index map clamps skipped
+    # blocks to the diagonal block, and Pallas dedups repeated fetches).
+    static_off: Optional[int] = None
     if q_offset is None:
-        off = (jnp.full((B,), S - T, jnp.int32) if kv_len is None
-               else jnp.zeros((B,), jnp.int32))
+        if kv_len is None:
+            static_off = S - T
+            off = jnp.full((B,), S - T, jnp.int32)
+        else:
+            static_off = 0
+            off = jnp.zeros((B,), jnp.int32)
     else:
         off = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32).reshape(-1), (B,))
     if kv_len is None:
@@ -156,6 +166,16 @@ def _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
     meta = jnp.stack([kv_len.astype(jnp.int32), off], axis=0)  # [2, B]
 
     grid = (B, Hq, T // block_q, S // block_k)
+
+    if causal and static_off is not None:
+        _so = static_off
+
+        def k_index(b, h, qi, ki, *_, _g=group):
+            last_valid = (qi * block_q + block_q - 1 + _so) // block_k
+            return (b, h // _g, jnp.minimum(ki, last_valid), 0)
+    else:
+        def k_index(b, h, qi, ki, *_, _g=group):
+            return (b, h // _g, ki, 0)
 
     out = pl.pallas_call(
         functools.partial(
@@ -167,10 +187,8 @@ def _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D),
                              lambda b, h, qi, ki, *_: (b, h, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, qi, ki, *_, _g=group: (b, h // _g, ki, 0)),
-                pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, qi, ki, *_, _g=group: (b, h // _g, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, D), k_index),
+                pl.BlockSpec((1, 1, block_k, D), k_index),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, D),
                                    lambda b, h, qi, ki, *_: (b, h, qi, 0)),
@@ -229,7 +247,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = True, sm_scale: Optional[float] = None,
                     kv_len: Optional[jnp.ndarray] = None,
                     q_offset: Optional[jnp.ndarray] = None,
-                    block_q: int = 256, block_k: int = 256,
+                    block_q: int = 512, block_k: int = 512,
                     use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Fused attention. q [B,T,Hq,D]; k,v [B,S,Hkv,D] -> [B,T,Hq,D].
 
