@@ -26,6 +26,7 @@ from spider_tpu.models.tokenizer import TinyTokenizer, extend_tokenizer
 def build_tiny_spider(rng: Optional[jax.Array] = None,
                       use_moe_aligner: bool = False,
                       with_pipes: bool = True,
+                      with_sam: bool = False,
                       modality_tokens: Optional[Dict[str, int]] = None,
                       lora_r: int = 4,
                       max_context_len: int = 128) -> Spider:
@@ -60,6 +61,19 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
             "AUDIO": build_tiny_ad(tokenizer=tokenizer),
         }
 
+    sam = None
+    sam_prompt_dim = 8
+    if with_sam:
+        from spider_tpu.models.sam import Sam, sam_tiny
+
+        sam_cfg = sam_tiny()
+        sam_prompt_dim = sam_cfg.prompt_embed_dim
+        sam_model = Sam(sam_cfg)
+        sam_params = sam_model.init(
+            rng, jnp.zeros((1, 3, sam_cfg.img_size, sam_cfg.img_size)),
+            boxes=jnp.zeros((1, 1, 4)))
+        sam = (sam_model, sam_params)
+
     # alignment dims follow the pipes' conditioning spaces
     align_specs = {
         "IMAGE": dict(alignment_input_tokens=modality_tokens["IMAGE"],
@@ -69,7 +83,7 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
         "AUDIO": dict(alignment_input_tokens=modality_tokens["AUDIO"],
                       alignment_output_tokens=1, alignment_output_dim=16),
         "MASK": dict(alignment_input_tokens=1, alignment_output_tokens=1,
-                     alignment_output_dim=8),
+                     alignment_output_dim=sam_prompt_dim),
     }
 
     moe_aligner = None
@@ -95,7 +109,7 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
         encoder_model=encoder, encoder_params=encoder_params,
         llama_proj_params=llama_proj_params,
         aligners=aligners, moe_aligner=moe_aligner,
-        diffusion_pipes=pipes, modality_tokens=modality_tokens,
+        diffusion_pipes=pipes, sam=sam, modality_tokens=modality_tokens,
         max_context_len=max_context_len)
 
 

@@ -210,6 +210,8 @@ class Spider:
             tree["moe_aligner"] = self.moe_aligner[1]
         else:
             tree["aligners"] = {m: p for m, (mod, p) in self.aligners.items()}
+        if self.sam is not None:
+            tree["sam"] = self.sam[1]
         return tree
 
     def update_params(self, tree):
@@ -222,6 +224,8 @@ class Spider:
         if "aligners" in tree:
             self.aligners = {m: (self.aligners[m][0], p)
                              for m, p in tree["aligners"].items()}
+        if "sam" in tree and self.sam is not None:
+            self.sam = (self.sam[0], tree["sam"])
 
     # -------------------------------------------------------------- prepare
     def prepare_batch(self, samples: Dict[str, Any]) -> PreparedBatch:
@@ -385,9 +389,12 @@ class Spider:
     def compute_loss(self, params_tree, batch: PreparedBatch,
                      modality_embeds: Dict[str, jnp.ndarray],
                      cond_embeds: Optional[jnp.ndarray],
-                     task: str) -> Dict[str, jnp.ndarray]:
+                     task: str,
+                     aux_arrays: Optional[Dict[str, jnp.ndarray]] = None
+                     ) -> Dict[str, jnp.ndarray]:
         """Jit-friendly loss. cond_embeds: frozen text-conditioning target of
-        the task decoder for this batch's captions (None for TEXT/BOX)."""
+        the task decoder for this batch's captions (None for TEXT/BOX).
+        aux_arrays for MASK training: IMAGE_SAM [B,3,s,s], MASK_GT [B,s,s]."""
         llm_params = params_tree["llm"]
         proj_params = params_tree.get("llama_proj")
         embeds = self._splice_embeds(llm_params, proj_params, batch,
@@ -401,8 +408,11 @@ class Spider:
         gen_loss, gen_acc = cross_entropy_loss(logits, targets)
         out = {"gen_loss": gen_loss, "gen_acc": gen_acc}
 
-        if self.only_llm_gen_loss or task not in self.modality_tokens \
-                or cond_embeds is None or batch.signal_pos is None:
+        no_decoder_loss = (self.only_llm_gen_loss
+                           or task not in self.modality_tokens
+                           or batch.signal_pos is None
+                           or (cond_embeds is None and task != "MASK"))
+        if no_decoder_loss:
             out["loss"] = gen_loss
             return out
 
@@ -417,6 +427,36 @@ class Spider:
             fused = tap + inp
             proj = self._apply_aligner(params_tree, task, fused)
             proj_sum = proj if proj_sum is None else proj_sum + proj
+
+        if task == "MASK":
+            # SAM mask-decoder training: projected [MASK0] state prompts the
+            # decoder as text_embeds; 2*BCE + 0.5*dice vs gt
+            # (spider.py:606-638, 1291-1319).
+            assert self.sam is not None and aux_arrays is not None
+            sam_model, _ = self.sam
+            sam_params = params_tree["sam"]
+            # Only the mask decoder trains (base_model.py:221-233): freeze
+            # encoder + prompt-encoder params (activations of the encoder
+            # are already stop-gradded inside predict_text).
+            sp = dict(sam_params["params"])
+            for frozen in ("image_encoder", "prompt_encoder"):
+                if frozen in sp:
+                    sp[frozen] = jax.lax.stop_gradient(sp[frozen])
+            sam_params = {**sam_params, "params": sp}
+            masks = sam_model.apply(
+                sam_params, jnp.asarray(aux_arrays["IMAGE_SAM"]),
+                proj_sum.astype(jnp.float32), method=sam_model.predict_text)
+            from spider_tpu.models.sam import postprocess_masks
+
+            gt = jnp.asarray(aux_arrays["MASK_GT"])
+            s = gt.shape[-1]
+            pred = postprocess_masks(masks, (s, s), (s, s), img_size=s)[:, 0]
+            bce = 2.0 * sigmoid_bce_loss(pred, gt) / max(gt.shape[0], 1)
+            dice = 0.5 * dice_loss(pred, gt) / max(gt.shape[0], 1)
+            out["bce_loss"] = bce
+            out["dice_loss"] = dice
+            out["loss"] = gen_loss + bce + dice
+            return out
 
         target = cond_embeds
         if target.ndim == 2:  # AUDIO pooled -> (N, 1, D) (spider.py:1283)
@@ -453,8 +493,20 @@ class Spider:
             cond_embeds = pipe(prompt=samples["Caption"],
                                return_prompts_only=True)
 
+        aux_arrays = None
+        if task == "MASK" and self.sam is not None and "IMAGE_SAM" in samples:
+            aux_arrays = {
+                "IMAGE_SAM": np.stack([np.asarray(x)
+                                       for x in samples["IMAGE_SAM"]]),
+                "MASK_GT": np.stack([np.asarray(x)
+                                     for x in samples["MASK"]]),
+            }
+        elif task == "MASK":
+            task = "TEXT"  # no SAM: MASK degrades to gen_loss only
+
         out = self.compute_loss(self.trainable_params(), batch,
-                                modality_embeds, cond_embeds, task)
+                                modality_embeds, cond_embeds, task,
+                                aux_arrays)
         if isinstance(embed_align, jnp.ndarray) or embed_align:
             out["loss"] = out["loss"] + embed_align
             out[f"{task}_embed_align_mse_loss"] = embed_align

@@ -121,12 +121,13 @@ class RunnerBase:
             spider = self.model
             tx = self.tx
 
-            def step(params, opt_state, batch_dict, modality_embeds, cond):
+            def step(params, opt_state, batch_dict, modality_embeds, cond,
+                     aux_arrays):
                 batch = PreparedBatch(**batch_dict)
 
                 def loss_fn(p):
                     out = spider.compute_loss(p, batch, modality_embeds,
-                                              cond, task)
+                                              cond, task, aux_arrays)
                     return out["loss"], out
 
                 grads, out = jax.grad(loss_fn, has_aux=True)(params)
@@ -151,15 +152,26 @@ class RunnerBase:
                 and task in spider.diffusion_pipes and "Caption" in samples:
             cond = spider.diffusion_pipes[task](
                 prompt=samples["Caption"], return_prompts_only=True)
+        aux = None
+        if task == "MASK" and spider.sam is not None \
+                and "IMAGE_SAM" in samples:
+            aux = {"IMAGE_SAM": np.stack([np.asarray(x)
+                                          for x in samples["IMAGE_SAM"]]),
+                   "MASK_GT": np.stack([np.asarray(x)
+                                        for x in samples["MASK"]])}
+        elif task == "MASK":
+            task = "TEXT"
 
         batch_dict = dataclasses.asdict(batch)
         shape_key = (batch.input_ids.shape,
                      tuple(sorted((m, v.shape) for m, v in
                                   batch.modality_inputs.items())),
-                     cond is not None and tuple(np.shape(cond)))
+                     cond is not None and tuple(np.shape(cond)),
+                     aux is not None and tuple(np.shape(aux["IMAGE_SAM"])))
         step = self._jitted_step(task, shape_key)
         self.params, self.opt_state, out = step(
-            self.params, self.opt_state, batch_dict, modality_embeds, cond)
+            self.params, self.opt_state, batch_dict, modality_embeds, cond,
+            aux)
         self.global_step += 1
         return {k: float(v) for k, v in out.items()}
 

@@ -126,3 +126,42 @@ def test_moe_aligner_variant():
     spider = build_tiny_spider(use_moe_aligner=True, with_pipes=True)
     out = spider.forward(_image_samples(spider))
     assert np.isfinite(float(out["loss"]))
+
+
+def test_mask_task_trains_sam_decoder():
+    spider = build_tiny_spider(with_sam=True, with_pipes=False)
+    sam_size = spider.sam[0].config.img_size
+    samples = {
+        "Question": ["segment the dog <IMAGE><IMAGE-Placeholder></IMAGE>"],
+        "TaskPrompt": ["[MASK]"],
+        "Answer": ["<MASK>dog<MASK-Placeholder></MASK>"],
+        "Caption": ["dog"],
+        "IMAGE": [np.zeros((3, 2, 28, 28), np.float32)],
+        "IMAGE_SAM": [np.zeros((3, sam_size, sam_size), np.float32)],
+        "MASK": [np.ones((sam_size, sam_size), np.float32)],
+    }
+    out = spider.forward(samples)
+    assert "bce_loss" in out and "dice_loss" in out
+    assert np.isfinite(float(out["loss"]))
+
+    # gradients reach the SAM mask decoder and the MASK aligner but NOT the
+    # SAM image/prompt encoders
+    batch = spider.prepare_batch(samples)
+    aux = {"IMAGE_SAM": np.stack([np.asarray(x) for x in samples["IMAGE_SAM"]]),
+           "MASK_GT": np.stack([np.asarray(x) for x in samples["MASK"]])}
+
+    def loss_fn(p):
+        return spider.compute_loss(p, batch, spider.encode_modalities(batch),
+                                   None, "MASK", aux)["loss"]
+
+    grads = jax.grad(loss_fn)(spider.trainable_params())
+    dec = max(float(jnp.abs(g).max()) for g in
+              jax.tree_util.tree_leaves(grads["sam"]["params"]["mask_decoder"]))
+    enc = max(float(jnp.abs(g).max()) for g in
+              jax.tree_util.tree_leaves(grads["sam"]["params"]["image_encoder"]))
+    pe = max(float(jnp.abs(g).max()) for g in
+             jax.tree_util.tree_leaves(grads["sam"]["params"]["prompt_encoder"]))
+    align = max(float(jnp.abs(g).max()) for g in
+                jax.tree_util.tree_leaves(grads["aligners"]["MASK"]))
+    assert dec > 0 and align > 0
+    assert enc == 0.0 and pe == 0.0
