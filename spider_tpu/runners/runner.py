@@ -213,15 +213,25 @@ class RunnerBase:
                                     max_batches)
 
     def train(self) -> Dict[str, Any]:
+        """Epoch loop with per-epoch eval + best-checkpoint tracking
+        (runner_base.py:113-177)."""
         start = time.time()
         resume_path = self.config.run.get("resume_ckpt_path")
         if resume_path:
             self.load_checkpoint(resume_path)
-        stats = {}
+        stats: Dict[str, Any] = {}
+        best_metric = float("inf")
         for epoch in range(self.start_epoch, self.max_epoch):
             stats = self.train_epoch(epoch)
             logging.info("epoch %d: %s", epoch, stats)
             self.save_checkpoint(epoch)
+            val = self.eval_epoch("val")
+            if val:
+                mean_loss = float(np.mean([r.get("loss", 0.0) for r in val]))
+                logging.info("epoch %d val loss %.4f", epoch, mean_loss)
+                if mean_loss < best_metric:
+                    best_metric = mean_loss
+                    self.save_checkpoint_best(epoch)
         logging.info("Training time %.1fs", time.time() - start)
         return stats
 
@@ -229,6 +239,16 @@ class RunnerBase:
     def _ckpt_dir(self, epoch: int) -> str:
         return os.path.join(os.path.abspath(self.output_dir),
                             f"checkpoint_{epoch}")
+
+    def save_checkpoint_best(self, epoch: int) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(self.output_dir),
+                            "checkpoint_best")
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, dict(params=self.params,
+                              epoch=jnp.asarray(epoch)), force=True)
+        return path
 
     def save_checkpoint(self, epoch: int) -> str:
         import orbax.checkpoint as ocp
