@@ -78,6 +78,10 @@ def convert_llama_state_dict(sd: Dict[str, np.ndarray], cfg,
         name: proj(stack(f"model.layers.{{}}.self_attn.{name}.weight"))
         for name in ("q_proj", "k_proj", "v_proj", "o_proj")
     }
+    if cfg.attention_bias:
+        for name in ("q_proj", "k_proj", "v_proj"):
+            attn[name]["bias"] = stack(
+                f"model.layers.{{}}.self_attn.{name}.bias", transpose=False)
     mlp = {
         name: proj(stack(f"model.layers.{{}}.mlp.{name}.weight"))
         for name in ("gate_proj", "up_proj", "down_proj")
@@ -136,6 +140,9 @@ def convert_llama_checkpoint(path: str, quantize: Optional[str] = None):
         rope_scaling=rope_scaling,
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         quantization=quantize,
+        # Qwen2 family: qkv biases (hf attention_bias flag or model_type)
+        attention_bias=hf.get("attention_bias",
+                              hf.get("model_type") == "qwen2"),
     )
     sd = load_torch_state_dict(path)
     params = convert_llama_state_dict(sd, cfg, quantize)

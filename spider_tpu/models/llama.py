@@ -62,6 +62,8 @@ class LlamaConfig:
     # 8B model fits a single 16-GB v5e chip and decode (HBM-bound) reads
     # half the bytes.
     quantization: Optional[str] = None
+    # Qwen2-family: bias on q/k/v projections (o/mlp stay bias-free).
+    attention_bias: bool = False
 
     @property
     def head_dim_(self) -> int:
@@ -90,6 +92,23 @@ def llama3_8b() -> LlamaConfig:
         rope_theta=500000.0,
         rope_scaling=dict(factor=8.0, low_freq_factor=1.0, high_freq_factor=4.0,
                           original_max_position_embeddings=8192),
+    )
+
+
+def qwen2_7b() -> LlamaConfig:
+    """Qwen2/2.5-7B family (the Qwen2.5-Omni thinker's text decoder shares
+    this shape)."""
+    return LlamaConfig(
+        vocab_size=152064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_hidden_layers=28,
+        num_attention_heads=28,
+        num_key_value_heads=4,
+        max_position_embeddings=32768,
+        rms_norm_eps=1e-6,
+        rope_theta=1000000.0,
+        attention_bias=True,
     )
 
 
@@ -172,17 +191,19 @@ class LlamaAttention(nn.Module):
         Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
         lora = cfg.lora
 
-        def proj(name, features):
+        def proj(name, features, use_bias=False):
             r = lora.r if name in lora.targets else 0
-            return LoraDense(features, lora_r=r, lora_alpha=lora.alpha,
+            return LoraDense(features, use_bias=use_bias, lora_r=r,
+                             lora_alpha=lora.alpha,
                              dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                              quantized=cfg.quantization == "int8",
                              name=name)
 
         B, T, _ = x.shape
-        q = proj("q_proj", Hq * D)(x).reshape(B, T, Hq, D)
-        k = proj("k_proj", Hkv * D)(x).reshape(B, T, Hkv, D)
-        v = proj("v_proj", Hkv * D)(x).reshape(B, T, Hkv, D)
+        qkv_bias = cfg.attention_bias
+        q = proj("q_proj", Hq * D, qkv_bias)(x).reshape(B, T, Hq, D)
+        k = proj("k_proj", Hkv * D, qkv_bias)(x).reshape(B, T, Hkv, D)
+        v = proj("v_proj", Hkv * D, qkv_bias)(x).reshape(B, T, Hkv, D)
 
         inv_freq = rope_inv_freq(D, cfg.rope_theta, cfg.rope_scaling)
         q = apply_rope(q, positions, inv_freq)

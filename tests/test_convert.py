@@ -155,3 +155,24 @@ def test_bert_conversion_structure():
         jax.tree_util.tree_structure(ref)
     seq, pooled = model.apply(params, ids)
     assert np.isfinite(np.asarray(seq)).all()
+
+
+def test_qwen2_style_conversion_with_bias():
+    cfg = dataclasses.replace(L.llama_tiny(vocab_size=64),
+                              attention_bias=True)
+    rng = np.random.default_rng(2)
+    sd = _fake_llama_sd(cfg, rng)
+    D = cfg.head_dim_
+    for i in range(cfg.num_hidden_layers):
+        b = f"model.layers.{i}.self_attn."
+        sd[b + "q_proj.bias"] = rng.normal(0, 0.01, (cfg.hidden_size,)).astype(np.float32)
+        sd[b + "k_proj.bias"] = rng.normal(0, 0.01, (cfg.num_key_value_heads * D,)).astype(np.float32)
+        sd[b + "v_proj.bias"] = rng.normal(0, 0.01, (cfg.num_key_value_heads * D,)).astype(np.float32)
+    params = convert_llama_state_dict(sd, cfg)
+    model = L.LlamaForCausalLM(cfg)
+    ids = jnp.array([[1, 5, 9]])
+    ref = model.init(jax.random.PRNGKey(0), ids)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(ref)
+    logits, _, _ = model.apply(params, ids)
+    assert np.isfinite(np.asarray(logits)).all()
