@@ -255,3 +255,163 @@ def convert_bert_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
                        "bias": np.asarray(sd[b + "output.LayerNorm.bias"])},
         }
     return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# diffusers AutoencoderKL -> spider_tpu.models.vae
+# ---------------------------------------------------------------------------
+
+def _gn(sd, key):
+    """GroupNorm/LayerNorm weights -> flax {'scale','bias'}."""
+    return {"scale": np.asarray(sd[key + ".weight"], np.float32),
+            "bias": np.asarray(sd[key + ".bias"], np.float32)}
+
+
+def _c(sd, key):
+    """Conv weights -> flax {'kernel','bias'} (OIHW -> HWIO)."""
+    out = {"kernel": _conv(sd[key + ".weight"])}
+    if key + ".bias" in sd:
+        out["bias"] = np.asarray(sd[key + ".bias"], np.float32)
+    return out
+
+
+def _d(sd, key):
+    """Linear (or 1x1-conv-stored) weights -> flax Dense {'kernel','bias'}."""
+    w = np.asarray(sd[key + ".weight"], np.float32)
+    if w.ndim == 4:  # [out, in, 1, 1] conv form
+        w = w[:, :, 0, 0]
+    out = {"kernel": w.T}
+    if key + ".bias" in sd:
+        out["bias"] = np.asarray(sd[key + ".bias"], np.float32)
+    return out
+
+
+def _vae_resnet(sd, pre):
+    p = {"norm1": _gn(sd, pre + ".norm1"), "conv1": _c(sd, pre + ".conv1"),
+         "norm2": _gn(sd, pre + ".norm2"), "conv2": _c(sd, pre + ".conv2")}
+    if pre + ".conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = _c(sd, pre + ".conv_shortcut")
+    return p
+
+
+def _vae_attn(sd, pre):
+    return {"norm": _gn(sd, pre + ".group_norm"),
+            "q": _d(sd, pre + ".to_q"), "k": _d(sd, pre + ".to_k"),
+            "v": _d(sd, pre + ".to_v"),
+            "proj_out": _d(sd, pre + ".to_out.0")}
+
+
+def convert_vae_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """diffusers AutoencoderKL names -> spider_tpu AutoencoderKL tree."""
+    n_blocks = len(cfg.block_out_channels)
+    enc: Dict[str, Any] = {"conv_in": _c(sd, "encoder.conv_in"),
+                           "norm_out": _gn(sd, "encoder.conv_norm_out"),
+                           "conv_out": _c(sd, "encoder.conv_out"),
+                           "quant_conv": _c(sd, "quant_conv")}
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block):
+            enc[f"down_{i}_res_{j}"] = _vae_resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}")
+        if i < n_blocks - 1:
+            enc[f"down_{i}_downsample"] = _c(
+                sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+    enc["mid_res_0"] = _vae_resnet(sd, "encoder.mid_block.resnets.0")
+    enc["mid_res_1"] = _vae_resnet(sd, "encoder.mid_block.resnets.1")
+    enc["mid_attn"] = _vae_attn(sd, "encoder.mid_block.attentions.0")
+
+    dec: Dict[str, Any] = {"conv_in": _c(sd, "decoder.conv_in"),
+                           "norm_out": _gn(sd, "decoder.conv_norm_out"),
+                           "conv_out": _c(sd, "decoder.conv_out"),
+                           "post_quant_conv": _c(sd, "post_quant_conv")}
+    dec["mid_res_0"] = _vae_resnet(sd, "decoder.mid_block.resnets.0")
+    dec["mid_res_1"] = _vae_resnet(sd, "decoder.mid_block.resnets.1")
+    dec["mid_attn"] = _vae_attn(sd, "decoder.mid_block.attentions.0")
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block + 1):
+            dec[f"up_{i}_res_{j}"] = _vae_resnet(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}")
+        if i < n_blocks - 1:
+            dec[f"up_{i}_upsample"] = _c(
+                sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+    return {"params": _to_jnp({"encoder": enc, "decoder": dec})}
+
+
+# ---------------------------------------------------------------------------
+# diffusers UNet2DConditionModel -> spider_tpu.models.unet2d
+# ---------------------------------------------------------------------------
+
+def _unet_resnet(sd, pre):
+    p = _vae_resnet(sd, pre)
+    p["time_emb_proj"] = _d(sd, pre + ".time_emb_proj")
+    return p
+
+
+def _unet_tfm_block(sd, pre):
+    def attn(a):
+        return {"to_q": _d(sd, f"{pre}.{a}.to_q"),
+                "to_k": _d(sd, f"{pre}.{a}.to_k"),
+                "to_v": _d(sd, f"{pre}.{a}.to_v"),
+                "to_out": _d(sd, f"{pre}.{a}.to_out.0")}
+
+    return {"norm1": _gn(sd, pre + ".norm1"),
+            "norm2": _gn(sd, pre + ".norm2"),
+            "norm3": _gn(sd, pre + ".norm3"),
+            "attn1": attn("attn1"), "attn2": attn("attn2"),
+            "ff": {"proj_in": _d(sd, pre + ".ff.net.0.proj"),
+                   "proj_out": _d(sd, pre + ".ff.net.2")}}
+
+
+def _unet_attn(sd, pre, depth):
+    p = {"norm": _gn(sd, pre + ".norm"),
+         "proj_in": _d(sd, pre + ".proj_in"),
+         "proj_out": _d(sd, pre + ".proj_out")}
+    for k in range(depth):
+        p[f"block_{k}"] = _unet_tfm_block(sd, f"{pre}.transformer_blocks.{k}")
+    return p
+
+
+def convert_unet2d_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """diffusers UNet2DConditionModel names -> spider_tpu UNet2DCondition
+    tree (SD-1.5 / SDXL / AudioLDM layouts)."""
+    n = len(cfg.block_out_channels)
+    p: Dict[str, Any] = {
+        "conv_in": _c(sd, "conv_in"),
+        "time_embed_1": _d(sd, "time_embedding.linear_1"),
+        "time_embed_2": _d(sd, "time_embedding.linear_2"),
+        "norm_out": _gn(sd, "conv_norm_out"),
+        "conv_out": _c(sd, "conv_out"),
+    }
+    if cfg.addition_embed_type == "text_time":
+        p["add_embed_1"] = _d(sd, "add_embedding.linear_1")
+        p["add_embed_2"] = _d(sd, "add_embedding.linear_2")
+    elif cfg.addition_embed_type == "class_embed":
+        p["class_embed_1"] = _d(sd, "class_embedding.linear_1")
+        p["class_embed_2"] = _d(sd, "class_embedding.linear_2")
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            p[f"down_{i}_res_{j}"] = _unet_resnet(
+                sd, f"down_blocks.{i}.resnets.{j}")
+            if cfg.cross_attn_blocks[i] and cfg.transformer_layers_per_block[i]:
+                p[f"down_{i}_attn_{j}"] = _unet_attn(
+                    sd, f"down_blocks.{i}.attentions.{j}",
+                    cfg.transformer_layers_per_block[i])
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = _c(
+                sd, f"down_blocks.{i}.downsamplers.0.conv")
+    p["mid_res_0"] = _unet_resnet(sd, "mid_block.resnets.0")
+    p["mid_res_1"] = _unet_resnet(sd, "mid_block.resnets.1")
+    if "mid_block.attentions.0.norm.weight" in sd:
+        p["mid_attn"] = _unet_attn(sd, "mid_block.attentions.0",
+                                   max(cfg.transformer_layers_per_block[-1], 1))
+    rev_attn = list(reversed(cfg.cross_attn_blocks))
+    rev_depth = list(reversed(cfg.transformer_layers_per_block))
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            p[f"up_{i}_res_{j}"] = _unet_resnet(
+                sd, f"up_blocks.{i}.resnets.{j}")
+            if rev_attn[i] and rev_depth[i]:
+                p[f"up_{i}_attn_{j}"] = _unet_attn(
+                    sd, f"up_blocks.{i}.attentions.{j}", rev_depth[i])
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = _c(sd, f"up_blocks.{i}.upsamplers.0.conv")
+    return {"params": _to_jnp(p)}
