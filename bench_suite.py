@@ -45,18 +45,50 @@ def bench_unet(name, cfg, latent_hw, ctx_tokens, added=None, iters=5):
                 ms_per_step=round(dt * 1e3, 1))
 
 
+def bench_batched_decode(batch_size: int, prompt_len: int = 128,
+                         new_tokens: int = 64):
+    """8B int8 decode throughput at batch_size (weight reads amortize)."""
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.decode import GenerateConfig, make_generate_fn
+
+    cfg = dataclasses.replace(L.llama3_8b(), quantization="int8",
+                              param_dtype=jnp.bfloat16)
+    model = L.LlamaForCausalLM(cfg)
+    ids = jnp.ones((batch_size, prompt_len), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:1, :8])
+    gen = make_generate_fn(model, GenerateConfig(max_new_tokens=new_tokens))
+    emb = model.apply(params, ids, method=model.embed)
+    plen = jnp.full((batch_size,), prompt_len, jnp.int32)
+    out = gen(params, emb, plen, jax.random.PRNGKey(0))
+    _ = np.asarray(out["tokens"])
+    t0 = time.perf_counter()
+    out = gen(params, emb, plen, jax.random.PRNGKey(1))
+    _ = np.asarray(out["tokens"])
+    dt = time.perf_counter() - t0
+    tps = batch_size * new_tokens / dt
+    return dict(metric=f"8B decode tokens/s/chip (int8, bs={batch_size})",
+                value=round(tps, 1), unit="tokens/s/chip",
+                ms_per_step=round(dt / new_tokens * 1e3, 2))
+
+
 def main():
+    import sys
+
     from spider_tpu.models.unet2d import unet_sd15, unet_sdxl
 
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     results = []
-    # SD-1.5 at 512x512 (latent 64), 77 context tokens
-    results.append(bench_unet("SD-1.5 512px", unet_sd15(), 64, 77))
-    # SDXL at 768x768 (latent 96), 77 tokens, pooled+time_ids added cond
-    added = dict(text_embeds=jnp.zeros((2, 1280), jnp.bfloat16),
-                 time_ids=jnp.zeros((2, 6), jnp.float32))
-    results.append(bench_unet("SDXL 768px", unet_sdxl(), 96, 77, added))
+    if which in ("all", "diffusion"):
+        # SD-1.5 at 512x512 (latent 64), 77 context tokens
+        results.append(bench_unet("SD-1.5 512px", unet_sd15(), 64, 77))
+        # SDXL at 768x768 (latent 96), 77 tokens, pooled+time_ids added cond
+        added = dict(text_embeds=jnp.zeros((2, 1280), jnp.bfloat16),
+                     time_ids=jnp.zeros((2, 6), jnp.float32))
+        results.append(bench_unet("SDXL 768px", unet_sdxl(), 96, 77, added))
+    if which in ("all", "decode"):
+        results.append(bench_batched_decode(8))
 
-    with open("bench_details.json", "w") as f:
+    with open("bench_details.json", "a") as f:
         json.dump(results, f, indent=2)
     for r in results:
         print(json.dumps(r))

@@ -102,3 +102,33 @@ def test_spider_inference_api():
         {"Question": ["draw a cat"], "TaskPrompt": ["[IMAGE]"]},
         max_new_tokens=6, num_inference_steps=2)
     assert len(answers) == 1
+
+
+def test_llm_batcher_batches_and_answers():
+    import concurrent.futures
+
+    import jax
+    import jax.numpy as jnp
+
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.serving.batcher import LlmBatcher
+    from spider_tpu.models.decode import GenerateConfig
+
+    cfg = L.llama_tiny(vocab_size=300)
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    tok = TinyTokenizer()
+    b = LlmBatcher(model, params, tok,
+                   gen_cfg=GenerateConfig(max_new_tokens=4,
+                                          eos_ids=(tok.eos_token_id,),
+                                          pad_id=tok.pad_token_id),
+                   max_batch_size=4, max_wait_s=0.2, length_bucket=16)
+    futs = [b.submit(f"hello number {i}") for i in range(4)]
+    outs = [f.result(timeout=300) for f in futs]
+    assert len(outs) == 4
+    assert all(isinstance(o, str) for o in outs)
+    # single-shot path
+    single = b.chat("hello number 0", timeout=300)
+    assert single == outs[0]  # greedy + same prompt => same continuation
+    b.close()
