@@ -557,6 +557,18 @@ class Spider:
         prompt_ids = np.concatenate(
             [prompt_ids, np.tile(np.asarray(output_ids)[None],
                                  (prompt_ids.shape[0], 1))], axis=1)
+        # length-bucket the prompt so serving compiles O(buckets) programs,
+        # not one per prompt length
+        bucket = 32
+        L = prompt_ids.shape[1]
+        target = ((L + bucket - 1) // bucket) * bucket
+        if target != L:
+            # pad on the RIGHT; per-sample prompt_len below masks the pad
+            prompt_ids = np.concatenate(
+                [prompt_ids,
+                 np.full((prompt_ids.shape[0], target - L),
+                         self.tokenizer.pad_token_id, prompt_ids.dtype)],
+                axis=1)
         batch_p = dataclasses.replace(
             batch, input_ids=prompt_ids,
             slot_mask={m: v[:, : prompt_ids.shape[1]]
@@ -569,9 +581,15 @@ class Spider:
             if self.llama_proj_params is not None else \
             self.llm.apply(self.llm_params, jnp.asarray(prompt_ids),
                            method=self.llm.embed)
-        prompt_len = jnp.asarray(
-            (prompt_ids != self.tokenizer.pad_token_id).sum(-1), jnp.int32)
-        prompt_len = jnp.maximum(prompt_len, 1)
+        # true prompt length = 1 + last real position. Modality slots hold
+        # pad_id but ARE real positions (their embeddings were spliced), so
+        # count positions that are non-pad OR slots.
+        real = prompt_ids != self.tokenizer.pad_token_id
+        for m, mask in batch_p.slot_mask.items():
+            real = real | mask
+        Lp = real.shape[1]
+        last = Lp - 1 - np.argmax(real[:, ::-1], axis=1)
+        prompt_len = jnp.asarray(np.maximum(last + 1, 1), jnp.int32)
         gen_cfg = GenerateConfig(
             max_new_tokens=max_new_tokens or self.max_context_len,
             eos_ids=(self._end_id, self.tokenizer.eos_token_id),
