@@ -88,7 +88,7 @@ def main():
     if which in ("all", "decode"):
         results.append(bench_batched_decode(8))
 
-    with open("bench_details.json", "a") as f:
+    with open("bench_details.json", "w") as f:
         json.dump(results, f, indent=2)
     for r in results:
         print(json.dumps(r))
