@@ -415,3 +415,115 @@ def convert_unet2d_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
         if i < n - 1:
             p[f"up_{i}_upsample"] = _c(sd, f"up_blocks.{i}.upsamplers.0.conv")
     return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# Segment Anything (sam_vit_*.pth) -> spider_tpu.models.sam
+# ---------------------------------------------------------------------------
+
+def _convT(w) -> np.ndarray:
+    """torch ConvTranspose2d [in, out, kh, kw] -> flax [kh, kw, in, out]."""
+    return np.asarray(w, np.float32).transpose(2, 3, 0, 1)
+
+
+def convert_sam_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Official SAM checkpoint names -> spider_tpu Sam tree. The fused qkv is
+    split; mask_downscaling (mask-input prompts) is unused by Spider and
+    skipped."""
+    C = cfg.encoder_width
+    enc: Dict[str, Any] = {
+        "patch_embed": _c(sd, "image_encoder.patch_embed.proj"),
+        "pos_embed": np.asarray(sd["image_encoder.pos_embed"], np.float32),
+        "neck_conv1": {"kernel": _conv(sd["image_encoder.neck.0.weight"])},
+        "neck_ln1": _gn(sd, "image_encoder.neck.1"),
+        "neck_conv2": {"kernel": _conv(sd["image_encoder.neck.2.weight"])},
+        "neck_ln2": _gn(sd, "image_encoder.neck.3"),
+    }
+    for i in range(cfg.encoder_layers):
+        b = f"image_encoder.blocks.{i}."
+        qkv_w = np.asarray(sd[b + "attn.qkv.weight"], np.float32)  # [3C, C]
+        qkv_b = np.asarray(sd[b + "attn.qkv.bias"], np.float32)
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        qb, kb, vb = np.split(qkv_b, 3, axis=0)
+        blk = {
+            "ln1": _gn(sd, b + "norm1"),
+            "ln2": _gn(sd, b + "norm2"),
+            "q": {"kernel": qw.T, "bias": qb},
+            "k": {"kernel": kw.T, "bias": kb},
+            "v": {"kernel": vw.T, "bias": vb},
+            "proj": _d(sd, b + "attn.proj"),
+            "fc1": _d(sd, b + "mlp.lin1"),
+            "fc2": _d(sd, b + "mlp.lin2"),
+        }
+        if b + "attn.rel_pos_h" in sd:
+            blk["rel_pos_h"] = np.asarray(sd[b + "attn.rel_pos_h"], np.float32)
+            blk["rel_pos_w"] = np.asarray(sd[b + "attn.rel_pos_w"], np.float32)
+        enc[f"block_{i}"] = blk
+
+    pe: Dict[str, Any] = {
+        "pe_gaussian": np.asarray(
+            sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"],
+            np.float32),
+        "point_embeddings": np.concatenate(
+            [np.asarray(sd[f"prompt_encoder.point_embeddings.{i}.weight"],
+                        np.float32) for i in range(4)], axis=0),
+        "not_a_point": np.asarray(
+            sd["prompt_encoder.not_a_point_embed.weight"], np.float32),
+        "no_mask_embed": np.asarray(
+            sd["prompt_encoder.no_mask_embed.weight"], np.float32),
+    }
+
+    md: Dict[str, Any] = {
+        "iou_token": np.asarray(sd["mask_decoder.iou_token.weight"], np.float32),
+        "mask_tokens": np.asarray(sd["mask_decoder.mask_tokens.weight"],
+                                  np.float32),
+        "upscale_1": {
+            "kernel": _convT(sd["mask_decoder.output_upscaling.0.weight"]),
+            "bias": np.asarray(sd["mask_decoder.output_upscaling.0.bias"],
+                               np.float32)},
+        "upscale_ln": _gn(sd, "mask_decoder.output_upscaling.1"),
+        "upscale_2": {
+            "kernel": _convT(sd["mask_decoder.output_upscaling.3.weight"]),
+            "bias": np.asarray(sd["mask_decoder.output_upscaling.3.bias"],
+                               np.float32)},
+        "final_q": _d(sd, "mask_decoder.transformer.final_attn_token_to_image.q_proj"),
+        "final_k": _d(sd, "mask_decoder.transformer.final_attn_token_to_image.k_proj"),
+        "final_v": _d(sd, "mask_decoder.transformer.final_attn_token_to_image.v_proj"),
+        "final_out": _d(sd, "mask_decoder.transformer.final_attn_token_to_image.out_proj"),
+        "final_ln": _gn(sd, "mask_decoder.transformer.norm_final_attn"),
+    }
+    for i in range(cfg.decoder_depth):
+        b = f"mask_decoder.transformer.layers.{i}."
+        md[f"block_{i}"] = {
+            "self_q": _d(sd, b + "self_attn.q_proj"),
+            "self_k": _d(sd, b + "self_attn.k_proj"),
+            "self_v": _d(sd, b + "self_attn.v_proj"),
+            "self_out": _d(sd, b + "self_attn.out_proj"),
+            "ln1": _gn(sd, b + "norm1"),
+            "cross_qk_q": _d(sd, b + "cross_attn_token_to_image.q_proj"),
+            "cross_qk_k": _d(sd, b + "cross_attn_token_to_image.k_proj"),
+            "cross_qk_v": _d(sd, b + "cross_attn_token_to_image.v_proj"),
+            "cross_qk_out": _d(sd, b + "cross_attn_token_to_image.out_proj"),
+            "ln2": _gn(sd, b + "norm2"),
+            "fc1": _d(sd, b + "mlp.lin1"),
+            "fc2": _d(sd, b + "mlp.lin2"),
+            "ln3": _gn(sd, b + "norm3"),
+            "cross_kq_q": _d(sd, b + "cross_attn_image_to_token.q_proj"),
+            "cross_kq_k": _d(sd, b + "cross_attn_image_to_token.k_proj"),
+            "cross_kq_v": _d(sd, b + "cross_attn_image_to_token.v_proj"),
+            "cross_kq_out": _d(sd, b + "cross_attn_image_to_token.out_proj"),
+            "ln4": _gn(sd, b + "norm4"),
+        }
+    num_tokens = cfg.num_multimask_outputs + 1
+    for i in range(num_tokens):
+        h = f"mask_decoder.output_hypernetworks_mlps.{i}.layers."
+        md[f"hyper_{i}_fc0"] = _d(sd, h + "0")
+        md[f"hyper_{i}_fc1"] = _d(sd, h + "1")
+        md[f"hyper_{i}_out"] = _d(sd, h + "2")
+    ih = "mask_decoder.iou_prediction_head.layers."
+    md["iou_fc0"] = _d(sd, ih + "0")
+    md["iou_fc1"] = _d(sd, ih + "1")
+    md["iou_out"] = _d(sd, ih + "2")
+
+    return {"params": _to_jnp({"image_encoder": enc, "prompt_encoder": pe,
+                               "mask_decoder": md})}

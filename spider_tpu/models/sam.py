@@ -59,6 +59,27 @@ class SamViTBlock(nn.Module):
     heads: int
     window_size: int          # 0 = global attention
     dtype: Any
+    use_rel_pos: bool = True  # SAM's decomposed relative positions
+
+    def _rel_pos_bias(self, q, size):
+        """Decomposed rel-pos (SAM's add_decomposed_rel_pos): q [B*, T, C],
+        T = size*size -> bias [B*, heads, T, T]."""
+        C = q.shape[-1]
+        D = C // self.heads
+        rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                           (2 * size - 1, D), jnp.float32)
+        rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                           (2 * size - 1, D), jnp.float32)
+        coords = jnp.arange(size)
+        rel = coords[:, None] - coords[None, :] + size - 1   # [size, size]
+        Rh = rel_h[rel].astype(q.dtype)                       # [s, s, D]
+        Rw = rel_w[rel].astype(q.dtype)
+        nB = q.shape[0]
+        r_q = q.reshape(nB, size, size, self.heads, D).transpose(0, 3, 1, 2, 4)
+        bias_h = jnp.einsum("bhxyd,xud->bhxyu", r_q, Rh)      # [B,h,s,s,s]
+        bias_w = jnp.einsum("bhxyd,yvd->bhxyv", r_q, Rw)
+        bias = bias_h[..., :, None] + bias_w[..., None, :]    # [B,h,s,s,s,s]
+        return bias.reshape(nB, self.heads, size * size, size * size)
 
     @nn.compact
     def __call__(self, x):
@@ -74,13 +95,28 @@ class SamViTBlock(nn.Module):
             Hp, Wp = H + pad_h, W + pad_w
             x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+            attn_size = ws
         else:
+            assert H == W
             x = x.reshape(B, H * W, C)
+            attn_size = H
         q = nn.Dense(C, dtype=self.dtype, name="q")(x)
         k = nn.Dense(C, dtype=self.dtype, name="k")(x)
         v = nn.Dense(C, dtype=self.dtype, name="v")(x)
-        x = nn.Dense(C, dtype=self.dtype, name="proj")(
-            _attention(q, k, v, self.heads))
+        if self.use_rel_pos:
+            D = C // self.heads
+            nB, T, _ = q.shape
+            qh = q.reshape(nB, T, self.heads, D).transpose(0, 2, 1, 3)
+            kh = k.reshape(nB, T, self.heads, D).transpose(0, 2, 1, 3)
+            vh = v.reshape(nB, T, self.heads, D).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhtd,bhsd->bhts", qh, kh) / (D ** 0.5)
+            logits = logits + self._rel_pos_bias(q / (D ** 0.5), attn_size)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            out = jnp.einsum("bhts,bhsd->bhtd", probs.astype(vh.dtype), vh)
+            attn_out = out.transpose(0, 2, 1, 3).reshape(nB, T, C)
+        else:
+            attn_out = _attention(q, k, v, self.heads)
+        x = nn.Dense(C, dtype=self.dtype, name="proj")(attn_out)
         if ws > 0:
             nwh, nww = (H + (ws - H % ws) % ws) // ws, (W + (ws - W % ws) % ws) // ws
             x = x.reshape(B, nwh, nww, ws, ws, C)

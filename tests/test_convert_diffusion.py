@@ -177,3 +177,94 @@ def test_unet2d_converter_roundtrip():
             jax.tree_util.tree_leaves_with_path(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    err_msg=str(pa))
+
+
+def test_sam_converter_roundtrip():
+    from spider_tpu.models.convert import convert_sam_state_dict
+    from spider_tpu.models.sam import Sam, sam_tiny
+
+    cfg = sam_tiny()
+    model = Sam(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, cfg.img_size, cfg.img_size)),
+                        boxes=jnp.zeros((1, 1, 4)))
+    p = params["params"]
+    sd = {}
+    enc = p["image_encoder"]
+    _emit_module(sd, "image_encoder.patch_embed.proj", enc["patch_embed"])
+    sd["image_encoder.pos_embed"] = np.asarray(enc["pos_embed"])
+    sd["image_encoder.neck.0.weight"] = _inv_conv(enc["neck_conv1"]["kernel"])
+    _emit_module(sd, "image_encoder.neck.1", enc["neck_ln1"])
+    sd["image_encoder.neck.2.weight"] = _inv_conv(enc["neck_conv2"]["kernel"])
+    _emit_module(sd, "image_encoder.neck.3", enc["neck_ln2"])
+    for i in range(cfg.encoder_layers):
+        b = f"image_encoder.blocks.{i}."
+        blk = enc[f"block_{i}"]
+        _emit_module(sd, b + "norm1", blk["ln1"])
+        _emit_module(sd, b + "norm2", blk["ln2"])
+        qw = np.asarray(blk["q"]["kernel"]).T
+        kw = np.asarray(blk["k"]["kernel"]).T
+        vw = np.asarray(blk["v"]["kernel"]).T
+        sd[b + "attn.qkv.weight"] = np.concatenate([qw, kw, vw], axis=0)
+        sd[b + "attn.qkv.bias"] = np.concatenate(
+            [np.asarray(blk[x]["bias"]) for x in ("q", "k", "v")], axis=0)
+        _emit_module(sd, b + "attn.proj", blk["proj"])
+        _emit_module(sd, b + "mlp.lin1", blk["fc1"])
+        _emit_module(sd, b + "mlp.lin2", blk["fc2"])
+        sd[b + "attn.rel_pos_h"] = np.asarray(blk["rel_pos_h"])
+        sd[b + "attn.rel_pos_w"] = np.asarray(blk["rel_pos_w"])
+    pe = p["prompt_encoder"]
+    sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = \
+        np.asarray(pe["pe_gaussian"])
+    for i in range(4):
+        sd[f"prompt_encoder.point_embeddings.{i}.weight"] = \
+            np.asarray(pe["point_embeddings"][i:i + 1])
+    sd["prompt_encoder.not_a_point_embed.weight"] = np.asarray(pe["not_a_point"])
+    sd["prompt_encoder.no_mask_embed.weight"] = np.asarray(pe["no_mask_embed"])
+    md = p["mask_decoder"]
+    sd["mask_decoder.iou_token.weight"] = np.asarray(md["iou_token"])
+    sd["mask_decoder.mask_tokens.weight"] = np.asarray(md["mask_tokens"])
+
+    def inv_convT(kern):  # flax [kh,kw,in,out] -> torch [in,out,kh,kw]
+        return np.asarray(kern).transpose(2, 3, 0, 1)
+
+    sd["mask_decoder.output_upscaling.0.weight"] = inv_convT(md["upscale_1"]["kernel"])
+    sd["mask_decoder.output_upscaling.0.bias"] = np.asarray(md["upscale_1"]["bias"])
+    _emit_module(sd, "mask_decoder.output_upscaling.1", md["upscale_ln"])
+    sd["mask_decoder.output_upscaling.3.weight"] = inv_convT(md["upscale_2"]["kernel"])
+    sd["mask_decoder.output_upscaling.3.bias"] = np.asarray(md["upscale_2"]["bias"])
+    for nm, ours in (("q_proj", "final_q"), ("k_proj", "final_k"),
+                     ("v_proj", "final_v"), ("out_proj", "final_out")):
+        _emit_module(sd, "mask_decoder.transformer.final_attn_token_to_image." + nm,
+                     md[ours])
+    _emit_module(sd, "mask_decoder.transformer.norm_final_attn", md["final_ln"])
+    for i in range(cfg.decoder_depth):
+        b = f"mask_decoder.transformer.layers.{i}."
+        blk = md[f"block_{i}"]
+        for tname, oname in (("self_attn", "self"),
+                             ("cross_attn_token_to_image", "cross_qk"),
+                             ("cross_attn_image_to_token", "cross_kq")):
+            for pp in ("q", "k", "v", "out"):
+                _emit_module(sd, b + f"{tname}.{pp}_proj", blk[f"{oname}_{pp}"])
+        for j in range(1, 5):
+            _emit_module(sd, b + f"norm{j}", blk[f"ln{j}"])
+        _emit_module(sd, b + "mlp.lin1", blk["fc1"])
+        _emit_module(sd, b + "mlp.lin2", blk["fc2"])
+    for i in range(cfg.num_multimask_outputs + 1):
+        h = f"mask_decoder.output_hypernetworks_mlps.{i}.layers."
+        _emit_module(sd, h + "0", md[f"hyper_{i}_fc0"])
+        _emit_module(sd, h + "1", md[f"hyper_{i}_fc1"])
+        _emit_module(sd, h + "2", md[f"hyper_{i}_out"])
+    ih = "mask_decoder.iou_prediction_head.layers."
+    _emit_module(sd, ih + "0", md["iou_fc0"])
+    _emit_module(sd, ih + "1", md["iou_fc1"])
+    _emit_module(sd, ih + "2", md["iou_out"])
+
+    converted = convert_sam_state_dict(sd, cfg)
+    assert jax.tree_util.tree_structure(converted) == \
+        jax.tree_util.tree_structure(params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(converted),
+            jax.tree_util.tree_leaves_with_path(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=str(pa))
