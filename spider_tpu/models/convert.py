@@ -527,3 +527,75 @@ def convert_sam_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
 
     return {"params": _to_jnp({"image_encoder": enc, "prompt_encoder": pe,
                                "mask_decoder": md})}
+
+
+# ---------------------------------------------------------------------------
+# ImageBind (imagebind_huge.pth) -> spider_tpu.models.imagebind
+# ---------------------------------------------------------------------------
+
+def _first(sd, *candidates):
+    for c in candidates:
+        if c in sd:
+            return sd[c]
+    raise KeyError(f"none of {candidates} in checkpoint "
+                   f"(has {len(sd)} keys)")
+
+
+def _ib_trunk(sd, modality: str, layers: int) -> Dict[str, Any]:
+    """modality_trunks.<m>.* + preprocessor cls/pos -> our Trunk tree."""
+    t = {}
+    t["cls_token"] = np.asarray(
+        _first(sd, f"modality_preprocessors.{modality}.cls_token"),
+        np.float32).reshape(1, 1, -1)
+    t["pos_embed"] = np.asarray(
+        _first(sd,
+               f"modality_preprocessors.{modality}.pos_embedding_helper.pos_embed",
+               f"modality_preprocessors.{modality}.pos_embed"),
+        np.float32)
+    pre_w = f"modality_trunks.{modality}.pre_transformer_layer.0.weight"
+    if pre_w in sd:
+        t["pre_ln"] = {"scale": np.asarray(sd[pre_w], np.float32),
+                       "bias": np.asarray(
+                           sd[pre_w.replace("weight", "bias")], np.float32)}
+    for i in range(layers):
+        b = f"modality_trunks.{modality}.blocks.{i}."
+        in_w = np.asarray(_first(sd, b + "attn.in_proj_weight"), np.float32)
+        in_b = np.asarray(_first(sd, b + "attn.in_proj_bias"), np.float32)
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+        t[f"block_{i}"] = {
+            "ln1": _gn(sd, b + "norm_1"),
+            "ln2": _gn(sd, b + "norm_2"),
+            "q": {"kernel": qw.T, "bias": qb},
+            "k": {"kernel": kw.T, "bias": kb},
+            "v": {"kernel": vw.T, "bias": vb},
+            "proj": _d(sd, b + "attn.out_proj"),
+            "fc1": _d(sd, b + "mlp.fc1"),
+            "fc2": _d(sd, b + "mlp.fc2"),
+        }
+    return t
+
+
+def convert_imagebind_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Official ImageBind checkpoint -> spider_tpu ImageBindEncoder tree
+    (vision + audio trunks and heads — the subset Spider uses)."""
+    p: Dict[str, Any] = {}
+    # vision stem: Conv3d [W, 3, F, k, k] -> flax [F, k, k, 3, W]
+    vision_stem = np.asarray(
+        _first(sd, "modality_preprocessors.vision.rgbt_stem.proj.1.weight",
+               "modality_preprocessors.vision.rgbt_stem.proj.weight"),
+        np.float32)
+    p["vision_patch"] = {"kernel": vision_stem.transpose(2, 3, 4, 1, 0)}
+    audio_stem = np.asarray(
+        _first(sd, "modality_preprocessors.audio.rgbt_stem.proj.weight",
+               "modality_preprocessors.audio.audio_stem.proj.weight"),
+        np.float32)
+    p["audio_patch"] = {"kernel": _conv(audio_stem)}
+    p["vision_trunk"] = _ib_trunk(sd, "vision", cfg.vision.layers)
+    p["audio_trunk"] = _ib_trunk(sd, "audio", cfg.audio.layers)
+    # heads: Sequential(LN, SelectElement, Linear(bias=False))
+    for m, head, ln in (("vision", "vision_head", "vision_head_ln"),
+                        ("audio", "audio_head", "audio_head_ln")):
+        p[ln] = _gn(sd, f"modality_heads.{m}.0")
+        p[head] = {"kernel": _t(_first(sd, f"modality_heads.{m}.2.weight"))}
+    return {"params": _to_jnp(p)}

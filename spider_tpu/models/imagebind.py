@@ -85,13 +85,18 @@ class Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, tokens):
-        """tokens [B, T, width] (patch embeddings, cls prepended here)."""
-        B = tokens.shape[0]
+        """tokens [B, T, width] (patch embeddings; cls + positions added
+        here — pos_embed covers cls+patches, matching the reference's
+        pos_embedding_helper layout)."""
+        B, T, _ = tokens.shape
         cls = self.param("cls_token", nn.initializers.zeros,
                          (1, 1, self.cfg.width), jnp.float32)
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.cfg.width)),
              tokens], axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, T + 1, self.cfg.width), jnp.float32)
+        x = x + pos.astype(self.dtype)
         if self.cfg.pre_ln:
             x = nn.LayerNorm(dtype=self.dtype, name="pre_ln")(x)
         for i in range(self.cfg.layers):
@@ -119,10 +124,7 @@ class ImageBindEncoder(nn.Module):
                     strides=(cfg.video_frames, cfg.patch_size, cfg.patch_size),
                     use_bias=False, dtype=cfg.dtype, name="vision_patch")(x)
         B = x.shape[0]
-        x = x.reshape(B, -1, cfg.vision.width)
-        pos = self.param("vision_pos", nn.initializers.normal(0.02),
-                         (1, x.shape[1], cfg.vision.width), jnp.float32)
-        return x + pos.astype(cfg.dtype)
+        return x.reshape(B, -1, cfg.vision.width)
 
     def _encode_vision(self, x):
         cfg = self.config
@@ -153,10 +155,7 @@ class ImageBindEncoder(nn.Module):
                     strides=(cfg.audio_stride, cfg.audio_stride),
                     use_bias=False, dtype=cfg.dtype, name="audio_patch")(x)
         B2 = x.shape[0]
-        x = x.reshape(B2, -1, cfg.audio.width)
-        pos = self.param("audio_pos", nn.initializers.normal(0.02),
-                         (1, x.shape[1], cfg.audio.width), jnp.float32)
-        tokens = x + pos.astype(cfg.dtype)
+        tokens = x.reshape(B2, -1, cfg.audio.width)
         out = Trunk(cfg.audio, cfg.dtype, name="audio_trunk")(tokens)
         cls = out[:, 0]
         cls = nn.LayerNorm(dtype=cfg.dtype, name="audio_head_ln")(cls)

@@ -268,3 +268,53 @@ def test_sam_converter_roundtrip():
             jax.tree_util.tree_leaves_with_path(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    err_msg=str(pa))
+
+
+def test_imagebind_converter_roundtrip():
+    from spider_tpu.models.convert import convert_imagebind_state_dict
+    from spider_tpu.models.imagebind import ImageBindEncoder, imagebind_tiny
+
+    cfg = imagebind_tiny()
+    model = ImageBindEncoder(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"vision": jnp.zeros((1, 3, 2, cfg.image_size, cfg.image_size)),
+         "audio": jnp.zeros((1, 1, cfg.audio_mel_bins, cfg.audio_target_len))})
+    p = params["params"]
+    sd = {}
+    sd["modality_preprocessors.vision.rgbt_stem.proj.1.weight"] = \
+        np.asarray(p["vision_patch"]["kernel"]).transpose(4, 3, 0, 1, 2)
+    sd["modality_preprocessors.audio.rgbt_stem.proj.weight"] = \
+        _inv_conv(p["audio_patch"]["kernel"])
+    for m, trunk_cfg in (("vision", cfg.vision), ("audio", cfg.audio)):
+        t = p[f"{m}_trunk"]
+        sd[f"modality_preprocessors.{m}.cls_token"] = \
+            np.asarray(t["cls_token"]).reshape(1, 1, -1)
+        sd[f"modality_preprocessors.{m}.pos_embedding_helper.pos_embed"] = \
+            np.asarray(t["pos_embed"])
+        _emit_module(sd, f"modality_trunks.{m}.pre_transformer_layer.0",
+                     t["pre_ln"])
+        for i in range(trunk_cfg.layers):
+            b = f"modality_trunks.{m}.blocks.{i}."
+            blk = t[f"block_{i}"]
+            _emit_module(sd, b + "norm_1", blk["ln1"])
+            _emit_module(sd, b + "norm_2", blk["ln2"])
+            sd[b + "attn.in_proj_weight"] = np.concatenate(
+                [np.asarray(blk[x]["kernel"]).T for x in "qkv"], axis=0)
+            sd[b + "attn.in_proj_bias"] = np.concatenate(
+                [np.asarray(blk[x]["bias"]) for x in "qkv"], axis=0)
+            _emit_module(sd, b + "attn.out_proj", blk["proj"])
+            _emit_module(sd, b + "mlp.fc1", blk["fc1"])
+            _emit_module(sd, b + "mlp.fc2", blk["fc2"])
+        _emit_module(sd, f"modality_heads.{m}.0", p[f"{m}_head_ln"])
+        sd[f"modality_heads.{m}.2.weight"] = \
+            np.asarray(p[f"{m}_head"]["kernel"]).T
+
+    converted = convert_imagebind_state_dict(sd, cfg)
+    assert jax.tree_util.tree_structure(converted) == \
+        jax.tree_util.tree_structure(params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(converted),
+            jax.tree_util.tree_leaves_with_path(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=str(pa))
