@@ -101,7 +101,9 @@ class MSDeformAttnLayer(nn.Module):
 
 
 class BiAttentionBlock(nn.Module):
-    """GLIP-style bidirectional image<->text fusion."""
+    """GLIP-style bidirectional multi-head image<->text fusion: one shared
+    attention-logit tensor per head, softmaxed both ways, with values
+    projected on both sides (BiMultiHeadAttention semantics)."""
 
     config: GroundingDINOConfig
 
@@ -109,20 +111,32 @@ class BiAttentionBlock(nn.Module):
     def __call__(self, img, txt):
         cfg = self.config
         C = cfg.hidden_dim
+        H = cfg.num_heads
+        D = C // H
+        B, S, _ = img.shape
+        T = txt.shape[1]
         i = nn.LayerNorm(dtype=cfg.dtype, name="ln_img")(img)
         t = nn.LayerNorm(dtype=cfg.dtype, name="ln_txt")(txt)
-        qi = nn.Dense(C, dtype=cfg.dtype, name="img_q")(i)
-        kt = nn.Dense(C, dtype=cfg.dtype, name="txt_k")(t)
-        vi = nn.Dense(C, dtype=cfg.dtype, name="img_v")(i)
-        vt = nn.Dense(C, dtype=cfg.dtype, name="txt_v")(t)
-        logits = jnp.einsum("bic,btc->bit", qi, kt) / math.sqrt(C)
-        a_i2t = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        a_t2i = jax.nn.softmax(logits.astype(jnp.float32).transpose(0, 2, 1),
-                               axis=-1)
-        img = img + nn.Dense(C, dtype=cfg.dtype, name="img_out")(
-            jnp.einsum("bit,btc->bic", a_i2t.astype(vt.dtype), vt))
-        txt = txt + nn.Dense(C, dtype=cfg.dtype, name="txt_out")(
-            jnp.einsum("bti,bic->btc", a_t2i.astype(vi.dtype), vi))
+        qi = nn.Dense(C, dtype=cfg.dtype, name="img_q")(i).reshape(B, S, H, D)
+        kt = nn.Dense(C, dtype=cfg.dtype, name="txt_k")(t).reshape(B, T, H, D)
+        vi = nn.Dense(C, dtype=cfg.dtype, name="img_v")(i).reshape(B, S, H, D)
+        vt = nn.Dense(C, dtype=cfg.dtype, name="txt_v")(t).reshape(B, T, H, D)
+        logits = jnp.einsum("bshd,bthd->bhst", qi, kt) / math.sqrt(D)
+        logits = logits.astype(jnp.float32)
+        # stability clamps (GLIP clamps fused logits)
+        logits = jnp.clip(logits, -50000.0, 50000.0)
+        a_i2t = jax.nn.softmax(logits, axis=-1)
+        a_t2i = jax.nn.softmax(logits.transpose(0, 1, 3, 2), axis=-1)
+        img_attn = jnp.einsum("bhst,bthd->bshd", a_i2t.astype(vt.dtype), vt)
+        txt_attn = jnp.einsum("bhts,bshd->bthd", a_t2i.astype(vi.dtype), vi)
+        gamma_i = self.param("gamma_img", nn.initializers.constant(1e-4),
+                             (C,), jnp.float32)
+        gamma_t = self.param("gamma_txt", nn.initializers.constant(1e-4),
+                             (C,), jnp.float32)
+        img = img + gamma_i.astype(img.dtype) * nn.Dense(
+            C, dtype=cfg.dtype, name="img_out")(img_attn.reshape(B, S, C))
+        txt = txt + gamma_t.astype(txt.dtype) * nn.Dense(
+            C, dtype=cfg.dtype, name="txt_out")(txt_attn.reshape(B, T, C))
         return img, txt
 
 
