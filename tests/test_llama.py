@@ -136,3 +136,26 @@ def test_tiny_tokenizer_roundtrip_and_extension():
     # added tokens are single ids
     one = tok("[INPUT]", add_special_tokens=False).input_ids
     assert len(one) == 1
+
+
+def test_clip_bpe_tokenizer(tmp_path):
+    import gzip
+
+    from spider_tpu.models.clip_tokenizer import CLIPTokenizer
+
+    merges = ["#version: test"]
+    merges += ["h e", "l l", "ll o</w>", "he llo</w>",
+               "w o", "r l", "wo rl", "worl d</w>"]
+    path = tmp_path / "bpe.txt.gz"
+    with gzip.open(path, "wt") as f:
+        f.write("\n".join(merges))
+    tok = CLIPTokenizer(str(path))
+    ids = tok("hello world", add_special_tokens=True).input_ids
+    assert ids[0] == tok.bos_token_id and ids[-1] == tok.eos_token_id
+    assert tok.decode(ids) == "hello world"
+    # merged tokens are single ids where merges apply
+    hello_ids = tok.encode("hello", add_special_tokens=False)
+    assert len(hello_ids) == 1
+    # batch API
+    out = tok(["a cat", "a dog"], add_special_tokens=False)
+    assert len(out.input_ids) == 2
