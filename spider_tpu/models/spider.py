@@ -595,8 +595,14 @@ class Spider:
             eos_ids=(self._end_id, self.tokenizer.eos_token_id),
             pad_id=self.tokenizer.pad_token_id,
             collect_layers=self.alignment_layer)
-        out = generate(self.llm, self.llm_params, embeds, prompt_len, gen_cfg,
-                       rng=rng)
+        gen_key = (embeds.shape, gen_cfg)
+        if gen_key not in self._loss_jit_cache:
+            self._loss_jit_cache[gen_key] = jax.jit(
+                lambda p, e, l, r: generate(self.llm, p, e, l, gen_cfg,
+                                            rng=r))
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        out = self._loss_jit_cache[gen_key](self.llm_params, embeds,
+                                            prompt_len, rng)
         tokens = np.asarray(out["tokens"])          # [B, N]
         step_hidden = np.asarray(out["step_hidden"])  # [N-1, K, B, H]
         text = self.tokenizer.decode(
