@@ -94,3 +94,28 @@ def image_to_imagebind(img: np.ndarray, size: int = 224,
     trunk (images are repeated over the tube axis)."""
     chw = clip_image_transform(img, size)
     return np.repeat(chw[:, None], frames, axis=1)
+
+
+def train_augment(img: np.ndarray, rng: Optional[np.random.Generator] = None,
+                  flip: bool = True, jitter: float = 0.2,
+                  crop_scale: Tuple[float, float] = (0.8, 1.0)) -> np.ndarray:
+    """Light training augmentation (the role of the reference's imgaug +
+    RandAugment pipelines, vision_processor.py / randaugment.py): random
+    resized crop, horizontal flip, brightness/contrast jitter. uint8 HWC in,
+    float32 HWC out in [0, 255]."""
+    rng = rng or np.random.default_rng()
+    h, w = img.shape[:2]
+    out = img.astype(np.float32)
+    # random resized crop
+    scale = rng.uniform(*crop_scale)
+    ch, cw = max(1, int(h * scale)), max(1, int(w * scale))
+    y0 = rng.integers(0, h - ch + 1)
+    x0 = rng.integers(0, w - cw + 1)
+    out = _bilinear_resize(out[y0:y0 + ch, x0:x0 + cw], h, w)
+    if flip and rng.random() < 0.5:
+        out = out[:, ::-1]
+    if jitter:
+        out = out * rng.uniform(1 - jitter, 1 + jitter)          # brightness
+        mean = out.mean(axis=(0, 1), keepdims=True)
+        out = (out - mean) * rng.uniform(1 - jitter, 1 + jitter) + mean
+    return np.clip(out, 0, 255)

@@ -113,3 +113,28 @@ def test_tar_shard_source(tmp_path):
     samples = list(itertools.islice(iter(src), 3))
     assert len(samples) == 3
     assert all("txt" in s for s in samples)
+
+
+def test_train_augment_shapes():
+    from spider_tpu.processors.vision import train_augment
+
+    img = np.random.default_rng(0).integers(0, 255, (32, 40, 3), np.uint8)
+    out = train_augment(img, rng=np.random.default_rng(1))
+    assert out.shape == (32, 40, 3)
+    assert out.min() >= 0 and out.max() <= 255
+
+
+def test_shard_writer_roundtrip(tmp_path):
+    from spider_tpu.datasets.shard_writer import ShardWriter
+
+    pattern = str(tmp_path / "shard-%05d.tar")
+    with ShardWriter(pattern, max_samples=2) as w:
+        for i in range(5):
+            w.write(f"{i:05d}", {"txt": f"caption {i}",
+                                 "json": {"idx": i}})
+    assert len(w.paths) == 3  # 2+2+1
+    src = TarShardSource(str(tmp_path / "shard-*.tar"), shuffle_buffer=1,
+                         resample=False)
+    samples = list(itertools.islice(iter(src), 5))
+    assert len(samples) == 5
+    assert {s["json"]["idx"] for s in samples} == set(range(5))
