@@ -212,10 +212,27 @@ class RunnerBase:
         return self.task.evaluation(self.model, self.dataloaders[split],
                                     max_batches)
 
+    def install_preemption_handler(self) -> None:
+        """Save a checkpoint on SIGTERM (pod preemption) — the elastic-
+        recovery story the reference lacks (SURVEY.md §5: its answer was a
+        365-day NCCL timeout)."""
+        import signal
+
+        def handler(signum, frame):
+            logging.warning("SIGTERM: saving preemption checkpoint")
+            self.save_checkpoint(epoch=-1)
+            raise SystemExit(143)
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # not on the main thread
+
     def train(self) -> Dict[str, Any]:
         """Epoch loop with per-epoch eval + best-checkpoint tracking
         (runner_base.py:113-177)."""
         start = time.time()
+        self.install_preemption_handler()
         resume_path = self.config.run.get("resume_ckpt_path")
         if resume_path:
             self.load_checkpoint(resume_path)

@@ -108,3 +108,24 @@ def test_grad_accum_and_frozen_rows_in_train_step(mesh):
     emb1 = np.asarray(state.params["params"]["embed_tokens"]["embedding"])
     np.testing.assert_array_equal(emb0[:10], emb1[:10])      # frozen rows
     assert not np.allclose(emb0[10:], emb1[10:])             # live rows moved
+
+
+def test_tp_sharded_generate(mesh):
+    """Serving path under tensor parallelism: params sharded over the model
+    axis, jitted generate runs and matches the unsharded result."""
+    from spider_tpu.models.decode import GenerateConfig, generate
+
+    cfg = L.llama_tiny(vocab_size=64)
+    model = L.LlamaForCausalLM(cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    emb = model.apply(params, ids, method=model.embed)
+    plen = jnp.array([8], dtype=jnp.int32)
+    gen_cfg = GenerateConfig(max_new_tokens=4)
+    ref = generate(model, params, emb, plen, gen_cfg)
+
+    sharded = partition.shard_params(params, mesh)
+    with mesh:
+        out = jax.jit(lambda p, e, l: generate(model, p, e, l, gen_cfg)
+                      ["tokens"])(sharded, emb, plen)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref["tokens"]))
