@@ -42,6 +42,15 @@ class BaseTask:
         for name, dataset_cfg in cfg.datasets.items():
             builder_cls = registry.get_builder_class(name)
             assert builder_cls is not None, f"unknown builder {name}"
+            # Shard data across processes: every DP rank draws DIFFERENT
+            # samples (per-source seed offset) while the ratio-mixing RNG
+            # stays shared (loaders.py replaces the reference's rank-0
+            # broadcast, dataloader_utils.py:45-62).
+            dataset_cfg = dict(dataset_cfg)
+            build_info = dict(dataset_cfg.get("build_info", {}))
+            build_info["seed"] = (build_info.get("seed", 0)
+                                  + jax.process_index() * 9973)
+            dataset_cfg["build_info"] = build_info
             builder = builder_cls(dataset_cfg)
             dataset = builder.build_datasets()
             if dataset is None:
