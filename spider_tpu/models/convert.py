@@ -599,3 +599,49 @@ def convert_imagebind_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
         p[ln] = _gn(sd, f"modality_heads.{m}.0")
         p[head] = {"kernel": _t(_first(sd, f"modality_heads.{m}.2.weight"))}
     return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# Swin backbone (mmdet naming: backbone.stages.*.blocks.*.attn.w_msa.*)
+# -> spider_tpu.models.swin
+# ---------------------------------------------------------------------------
+
+def convert_swin_state_dict(sd: Dict[str, np.ndarray], cfg,
+                            prefix: str = "backbone.") -> Dict:
+    """mmdet SwinTransformer names -> spider_tpu SwinTransformer tree.
+    Fused qkv is split; relative_position_bias_table maps directly."""
+    p: Dict[str, Any] = {
+        "patch_embed": _c(sd, prefix + "patch_embed.projection"),
+        "patch_norm": _gn(sd, prefix + "patch_embed.norm"),
+    }
+    out_i = 0
+    for s, depth in enumerate(cfg.depths):
+        for b in range(depth):
+            base = f"{prefix}stages.{s}.blocks.{b}."
+            qkv_w = np.asarray(sd[base + "attn.w_msa.qkv.weight"], np.float32)
+            qkv_b = np.asarray(sd[base + "attn.w_msa.qkv.bias"], np.float32)
+            qw, kw, vw = np.split(qkv_w, 3, axis=0)
+            qb, kb, vb = np.split(qkv_b, 3, axis=0)
+            p[f"stage{s}_block{b}"] = {
+                "norm1": _gn(sd, base + "norm1"),
+                "norm2": _gn(sd, base + "norm2"),
+                "q": {"kernel": qw.T, "bias": qb},
+                "k": {"kernel": kw.T, "bias": kb},
+                "v": {"kernel": vw.T, "bias": vb},
+                "proj": _d(sd, base + "attn.w_msa.proj"),
+                "rel_pos_bias": np.asarray(
+                    sd[base + "attn.w_msa.relative_position_bias_table"],
+                    np.float32),
+                "fc1": _d(sd, base + "ffn.layers.0.0"),
+                "fc2": _d(sd, base + "ffn.layers.1"),
+            }
+        if s < len(cfg.depths) - 1:
+            p[f"merge{s}"] = {
+                "norm": _gn(sd, f"{prefix}stages.{s}.downsample.norm"),
+                "reduction": {"kernel": _t(
+                    sd[f"{prefix}stages.{s}.downsample.reduction.weight"])},
+            }
+        if s in cfg.out_indices:
+            p[f"out_norm{s}"] = _gn(sd, f"{prefix}norm{s}")
+            out_i += 1
+    return {"params": _to_jnp(p)}

@@ -318,3 +318,47 @@ def test_imagebind_converter_roundtrip():
             jax.tree_util.tree_leaves_with_path(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    err_msg=str(pa))
+
+
+def test_swin_converter_roundtrip():
+    from spider_tpu.models.convert import convert_swin_state_dict
+    from spider_tpu.models.swin import SwinTransformer, swin_test
+
+    cfg = swin_test()
+    model = SwinTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
+    p = params["params"]
+    sd = {}
+    _emit_module(sd, "backbone.patch_embed.projection", p["patch_embed"])
+    _emit_module(sd, "backbone.patch_embed.norm", p["patch_norm"])
+    for s, depth in enumerate(cfg.depths):
+        for b in range(depth):
+            base = f"backbone.stages.{s}.blocks.{b}."
+            blk = p[f"stage{s}_block{b}"]
+            _emit_module(sd, base + "norm1", blk["norm1"])
+            _emit_module(sd, base + "norm2", blk["norm2"])
+            sd[base + "attn.w_msa.qkv.weight"] = np.concatenate(
+                [np.asarray(blk[x]["kernel"]).T for x in "qkv"], axis=0)
+            sd[base + "attn.w_msa.qkv.bias"] = np.concatenate(
+                [np.asarray(blk[x]["bias"]) for x in "qkv"], axis=0)
+            _emit_module(sd, base + "attn.w_msa.proj", blk["proj"])
+            sd[base + "attn.w_msa.relative_position_bias_table"] = \
+                np.asarray(blk["rel_pos_bias"])
+            _emit_module(sd, base + "ffn.layers.0.0", blk["fc1"])
+            _emit_module(sd, base + "ffn.layers.1", blk["fc2"])
+        if s < len(cfg.depths) - 1:
+            _emit_module(sd, f"backbone.stages.{s}.downsample.norm",
+                         p[f"merge{s}"]["norm"])
+            sd[f"backbone.stages.{s}.downsample.reduction.weight"] = \
+                np.asarray(p[f"merge{s}"]["reduction"]["kernel"]).T
+        if s in cfg.out_indices:
+            _emit_module(sd, f"backbone.norm{s}", p[f"out_norm{s}"])
+
+    converted = convert_swin_state_dict(sd, cfg)
+    assert jax.tree_util.tree_structure(converted) == \
+        jax.tree_util.tree_structure(params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(converted),
+            jax.tree_util.tree_leaves_with_path(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=str(pa))
