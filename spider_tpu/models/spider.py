@@ -479,6 +479,23 @@ class Spider:
         embed_align = 0.0
         if "Caption" in samples and self.use_embed_align_loss:
             embed_align = self.loss_text_encoder_align(samples["Caption"])
+            if self.word_align_loss:
+                # Local word-level alignment: sample half the caption's words
+                # and align each through the same projector
+                # (spider.py:963-980).
+                import random as _random
+
+                captions = samples["Caption"]
+                words0 = re.findall(r"\b\w+\b", captions[0])
+                select = max(1, len(words0) // 2)
+                word_total = 0.0
+                for _ in range(select):
+                    picks = []
+                    for cap in captions:
+                        words = re.findall(r"\b\w+\b", cap) or [cap]
+                        picks.append(_random.choice(words))
+                    word_total = word_total + self.loss_text_encoder_align(picks)
+                embed_align = (embed_align + word_total / float(select)) / 2.0
             if self.only_embed_align_loss:
                 return {"loss": embed_align, "gen_loss": embed_align,
                         "gen_acc": 0.0}

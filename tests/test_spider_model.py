@@ -165,3 +165,20 @@ def test_mask_task_trains_sam_decoder():
                 jax.tree_util.tree_leaves(grads["aligners"]["MASK"]))
     assert dec > 0 and align > 0
     assert enc == 0.0 and pe == 0.0
+
+
+def test_embed_and_word_align_losses():
+    spider = build_tiny_spider()
+    spider.use_embed_align_loss = True
+    spider.word_align_loss = True
+    samples = _image_samples(spider)
+    out = spider.forward(samples)
+    assert "IMAGE_embed_align_mse_loss" in out
+    assert np.isfinite(float(out["loss"]))
+    # only_embed_align_loss short-circuits
+    spider.only_embed_align_loss = True
+    out2 = spider.forward(samples)
+    assert set(out2) == {"loss", "gen_loss", "gen_acc"}
+    spider.use_embed_align_loss = False
+    spider.word_align_loss = False
+    spider.only_embed_align_loss = False
