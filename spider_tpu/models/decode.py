@@ -129,3 +129,62 @@ def make_generate_fn(model: LlamaForCausalLM, gen_cfg: GenerateConfig):
         return generate(model, params, inputs_embeds, prompt_len, gen_cfg, rng)
 
     return fn
+
+
+def stream_generate(model: LlamaForCausalLM, params,
+                    inputs_embeds: jnp.ndarray, prompt_len: jnp.ndarray,
+                    gen_cfg: GenerateConfig,
+                    rng: Optional[jax.Array] = None):
+    """Token-streaming decode: yields one int token id per step (batch 1) —
+    the chat-UX path (per-token streaming like the reference's web demos).
+    Prefill and the single-token step are each jitted once; the Python loop
+    only syncs one scalar per token."""
+    cfg = model.config
+    B, T_prompt, _ = inputs_embeds.shape
+    assert B == 1, "streaming is a batch-1 chat path"
+    N = gen_cfg.max_new_tokens
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    cache = init_kv_cache(cfg, B, T_prompt + N)
+
+    @jax.jit
+    def prefill(params, embeds, plen, cache):
+        positions = jnp.arange(embeds.shape[1], dtype=jnp.int32)[None, :]
+        logits, _, cache = model.apply(
+            params, inputs_embeds=embeds, positions=positions,
+            kv_write_index=0, kv_cache=cache, kv_len=plen)
+        last = jnp.take_along_axis(
+            logits, jnp.maximum(plen - 1, 0)[:, None, None], axis=1)[:, 0]
+        return last, cache
+
+    @jax.jit
+    def step(params, tok, kv_len, cache, key):
+        emb = model.apply(params, tok[:, None], method=model.embed)
+        logits, _, cache = model.apply(
+            params, inputs_embeds=emb, positions=kv_len[:, None],
+            kv_write_index=kv_len, kv_cache=cache, kv_len=kv_len + 1)
+        if gen_cfg.temperature <= 0.0:
+            nxt = greedy(logits[:, -1])
+        else:
+            nxt = sample_top_p(logits[:, -1], key,
+                               temperature=gen_cfg.temperature,
+                               top_p=gen_cfg.top_p)
+        return nxt, cache
+
+    logits, cache = prefill(params, inputs_embeds, prompt_len, cache)
+    key = rng
+    if gen_cfg.temperature <= 0.0:
+        tok = greedy(logits)
+    else:
+        key, sub = jax.random.split(key)
+        tok = sample_top_p(logits, sub, temperature=gen_cfg.temperature,
+                           top_p=gen_cfg.top_p)
+    kv_len = prompt_len
+    eos = set(gen_cfg.eos_ids)
+    for i in range(N):
+        t = int(tok[0])
+        yield t
+        if t in eos:
+            return
+        key, sub = jax.random.split(key)
+        tok, cache = step(params, tok, kv_len, cache, sub)
+        kv_len = kv_len + 1

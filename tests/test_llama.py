@@ -159,3 +159,27 @@ def test_clip_bpe_tokenizer(tmp_path):
     # batch API
     out = tok(["a cat", "a dog"], add_special_tokens=False)
     assert len(out.input_ids) == 2
+
+
+def test_stream_generate_matches_batch(tiny_model):
+    from spider_tpu.models.decode import stream_generate
+
+    cfg, model, params = tiny_model
+    ids = jnp.array([[1, 5, 9]])
+    emb = model.apply(params, ids, method=model.embed)
+    plen = jnp.array([3], dtype=jnp.int32)
+    batch = generate(model, params, emb, plen, GenerateConfig(max_new_tokens=5))
+    streamed = list(stream_generate(model, params, emb, plen,
+                                    GenerateConfig(max_new_tokens=5)))
+    np.testing.assert_array_equal(np.asarray(batch["tokens"][0]),
+                                  np.asarray(streamed))
+
+
+def test_gradcam_overlay():
+    from spider_tpu.common.gradcam import get_att_map
+
+    img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+    att = np.random.default_rng(1).random((8, 8)).astype(np.float32)
+    out = get_att_map(img, att)
+    assert out.shape == (32, 32, 3)
+    assert np.isfinite(out).all()
