@@ -129,3 +129,26 @@ def test_tp_sharded_generate(mesh):
         out = jax.jit(lambda p, e, l: generate(model, p, e, l, gen_cfg)
                       ["tokens"])(sharded, emb, plen)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref["tokens"]))
+
+
+def test_gpipe_matches_sequential():
+    from spider_tpu.parallel.pipeline import gpipe
+
+    pmesh = dist.make_mesh(data=2, model=4)
+    S, M, D = 4, 6, 8
+    rng = jax.random.PRNGKey(0)
+    ws = jax.random.normal(rng, (S, D, D)) * 0.3
+    bs = jax.random.normal(jax.random.PRNGKey(1), (S, D)) * 0.1
+    params = {"w": ws, "b": bs}
+    x = jax.random.normal(jax.random.PRNGKey(2), (M, 3, D))
+
+    def stage(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    got = gpipe(stage, params, x, pmesh, axis="model")
+
+    want = x
+    for s in range(S):
+        want = stage({"w": ws[s], "b": bs[s]}, want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
