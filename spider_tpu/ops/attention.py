@@ -64,7 +64,7 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   m_scratch, l_scratch, acc_scratch,
                   *, sm_scale: float, causal: bool, block_q: int,
                   block_k: int):
@@ -129,8 +129,12 @@ def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(ki == num_k - 1)
     def _finalize():
         l = l_scratch[:]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        # logsumexp per row (residual for the Pallas backward)
+        m = m_scratch[:]
+        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(safe_l))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
@@ -190,15 +194,22 @@ def _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
                 pl.BlockSpec((1, 1, block_k, D), k_index),
                 pl.BlockSpec((1, 1, block_k, D), k_index),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, D),
-                                   lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, 8),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(qt.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, T, 8), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -207,36 +218,224 @@ def _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
             bytes_accessed=(qt.size + kt.size + vt.size + qt.size) * qt.dtype.itemsize,
             transcendentals=B * Hq * T * S,
         ),
-    )(meta, qt, kt, vt)
-    return out.transpose(0, 2, 1, 3)
+    )
+    out_t, lse = out(meta, qt, kt, vt)
+    return out_t.transpose(0, 2, 1, 3), lse
 
 
 # ---------------------------------------------------------------------------
-# Public entry with custom VJP (backward = recompute via the XLA reference,
-# which XLA fuses well; a dedicated Pallas backward is a later optimization).
+# Pallas backward kernels: recompute P blockwise from (q, k, lse) — memory is
+# O(T) residuals instead of the O(T^2) logits an XLA-vjp recompute holds.
+# ---------------------------------------------------------------------------
+
+def _bwd_meta(B, S, T, kv_len, q_offset):
+    if q_offset is None:
+        off = (jnp.full((B,), S - T, jnp.int32) if kv_len is None
+               else jnp.zeros((B,), jnp.int32))
+    else:
+        off = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32).reshape(-1), (B,))
+    if kv_len is None:
+        kv_len = jnp.full((B,), S, dtype=jnp.int32)
+    return jnp.stack([kv_len.astype(jnp.int32), off], axis=0)
+
+
+def _bwd_block(q, k, v, do, lse, delta, meta_ref, b, qi, ki,
+               sm_scale, causal, block_q, block_k):
+    """Shared P/dS recomputation for the dq and dkv kernels (f32)."""
+    kv_len = meta_ref[0, b]
+    q_offset = meta_ref[1, b]
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0) + q_offset
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    mask = k_pos < kv_len
+    if causal:
+        mask = mask & (q_pos >= k_pos)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * sm_scale
+    return p, ds
+
+
+def _flash_bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, dq_scratch,
+                         *, sm_scale, causal, block_q, block_k):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    run = True
+    if causal:
+        q_offset = meta_ref[1, b]
+        run = (qi * block_q + q_offset + block_q - 1) >= (ki * block_k)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1].astype(jnp.float32)
+        delta = delta_ref[0, 0][:, 0:1].astype(jnp.float32)
+        p, ds = _bwd_block(q, k, v, do, lse, delta, meta_ref, b, qi, ki,
+                           sm_scale, causal, block_q, block_k)
+        dq_scratch[:] = dq_scratch[:] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_k - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
+                          *, sm_scale, causal, block_q, block_k):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    num_q = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    run = True
+    if causal:
+        q_offset = meta_ref[1, b]
+        run = (qi * block_q + q_offset + block_q - 1) >= (ki * block_k)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1].astype(jnp.float32)
+        delta = delta_ref[0, 0][:, 0:1].astype(jnp.float32)
+        p, ds = _bwd_block(q, k, v, do, lse, delta, meta_ref, b, qi, ki,
+                           sm_scale, causal, block_q, block_k)
+        dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scratch[:] = dk_scratch[:] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_q - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, causal, sm_scale, kv_len, q_offset,
+                    block_q, block_k):
+    """q [B,T,Hq,D]; k,v [B,S,Hkv,D]; lse [B,Hq,T]; g [B,T,Hq,D]."""
+    B, T, Hq, D = q.shape
+    _, S, Hkv, _ = k.shape
+    group = Hq // Hkv
+    block_q = min(block_q, T)
+    block_k = min(block_k, S)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot = g.transpose(0, 2, 1, 3)
+    # delta = rowsum(dO * O) per (b, h, t)
+    delta = jnp.sum(dot.astype(jnp.float32)
+                    * out.transpose(0, 2, 1, 3).astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (8,))
+    meta = _bwd_meta(B, S, T, kv_len, q_offset)
+
+    common = dict(sm_scale=sm_scale, causal=causal,
+                  block_q=block_q, block_k=block_k)
+    q_spec = pl.BlockSpec((1, 1, block_q, D),
+                          lambda b, h, qi, ki, *_: (b, h, qi, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, D),
+                           lambda b, h, qi, ki, *_, _g=group: (b, h // _g, ki, 0))
+    row_spec = pl.BlockSpec((1, 1, block_q, 8),
+                            lambda b, h, qi, ki, *_: (b, h, qi, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hq, T // block_q, S // block_k),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+            out_specs=q_spec,
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(meta, qt, kt, vt, dot, lse, delta)
+
+    # dkv grid iterates q blocks innermost; outputs are PER Q-HEAD and summed
+    # over the GQA group afterwards (avoids cross-program write races).
+    q_spec2 = pl.BlockSpec((1, 1, block_q, D),
+                           lambda b, h, ki, qi, *_: (b, h, qi, 0))
+    kv_spec2 = pl.BlockSpec((1, 1, block_k, D),
+                            lambda b, h, ki, qi, *_, _g=group: (b, h // _g, ki, 0))
+    row_spec2 = pl.BlockSpec((1, 1, block_q, 8),
+                             lambda b, h, ki, qi, *_: (b, h, qi, 0))
+    dkv_out_spec = pl.BlockSpec((1, 1, block_k, D),
+                                lambda b, h, ki, qi, *_: (b, h, ki, 0))
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hq, S // block_k, T // block_q),
+            in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2,
+                      row_spec2],
+            out_specs=(dkv_out_spec, dkv_out_spec),
+            scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
+                            pltpu.VMEM((block_k, D), jnp.float32)],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, Hq, S, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, Hq, S, D), v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(meta, qt, kt, vt, dot, lse, delta)
+
+    dk = dk_h.reshape(B, Hkv, group, S, D).sum(axis=2).transpose(0, 2, 1, 3)
+    dv = dv_h.reshape(B, Hkv, group, S, D).sum(axis=2).transpose(0, 2, 1, 3)
+    return dq.transpose(0, 2, 1, 3), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP (Pallas forward AND backward on TPU).
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7, 8))
 def _flash_attention(q, k, v, causal, sm_scale, kv_len, q_offset,
                      block_q, block_k):
-    return _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
-                          block_q, block_k)
+    out, _ = _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
+                            block_q, block_k)
+    return out
 
 
 def _flash_fwd(q, k, v, causal, sm_scale, kv_len, q_offset, block_q, block_k):
-    out = _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
-                         block_q, block_k)
-    return out, (q, k, v, kv_len, q_offset)
+    out, lse = _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
+                              block_q, block_k)
+    return out, (q, k, v, out, lse, kv_len, q_offset)
 
 
 def _flash_bwd(causal, sm_scale, block_q, block_k,
                residuals, g):
-    q, k, v, kv_len, q_offset = residuals
-    def ref(q, k, v):
-        return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale,
-                             kv_len=kv_len, q_offset=q_offset)
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, out, lse, kv_len, q_offset = residuals
+    dq, dk, dv = _flash_backward(q, k, v, out, lse, g, causal, sm_scale,
+                                 kv_len, q_offset, block_q, block_k)
     return dq, dk, dv, None, None
 
 

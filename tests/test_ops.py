@@ -70,7 +70,7 @@ def test_flash_kernel_interpret_matches_reference(causal, group):
     from jax.experimental.pallas import tpu as pltpu
 
     with pltpu.force_tpu_interpret_mode():
-        got = _flash_forward(q, k, v, causal, D ** -0.5, None, None, 128, 128)
+        got, _ = _flash_forward(q, k, v, causal, D ** -0.5, None, None, 128, 128)
     want = mha_reference(q, k, v, causal=causal)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
@@ -84,7 +84,7 @@ def test_flash_kernel_kv_len_masking():
     from jax.experimental.pallas import tpu as pltpu
 
     with pltpu.force_tpu_interpret_mode():
-        got = _flash_forward(q, k, v, False, D ** -0.5, kv_len, None, 128, 128)
+        got, _ = _flash_forward(q, k, v, False, D ** -0.5, kv_len, None, 128, 128)
     want = mha_reference(q, k, v, causal=False, kv_len=kv_len)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
@@ -118,3 +118,49 @@ def test_cached_decode_offset():
     qfull = jnp.concatenate([jax.random.normal(jax.random.PRNGKey(9), (B, S - T, H, D)), q], axis=1)
     full = mha_reference(qfull, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(full[:, -T:]), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_forward_lse_matches_reference():
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, H, D = 1, 128, 2, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_forward(q, k, v, True, D ** -0.5, None, None, 128, 128)
+    # manual lse
+    logits = jnp.einsum("bthd,bshd->bhts", q, k) * (D ** -0.5)
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    want = jax.nn.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse[..., 0]), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_backward_kernels_match_xla(causal):
+    from jax.experimental.pallas import tpu as pltpu
+    from spider_tpu.ops.attention import _flash_backward
+
+    B, T, Hkv, D = 1, 128, 2, 128
+    group = 2
+    Hq = Hkv * group
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D))
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, T, Hq, D))
+
+    def ref(q, k, v):
+        return mha_reference(q, k, v, causal=causal)
+
+    want_out, vjp = jax.vjp(ref, q, k, v)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_forward(q, k, v, causal, D ** -0.5, None, None,
+                                  128, 128)
+        got = _flash_backward(q, k, v, out, lse, g, causal, D ** -0.5,
+                              None, None, 128, 128)
+    for a, b, name in zip(got, want, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
