@@ -74,6 +74,68 @@ def bench_batched_decode(batch_size: int, prompt_len: int = 128,
                 ms_per_step=round(dt / new_tokens * 1e3, 2))
 
 
+def bench_e2e_any_to_many(prompt_len=128, new_tokens=150,
+                          image_steps=40, image_px=512):
+    """One SpiderFree-style request measured end-to-end on one chip: jitted
+    8B int8 decode -> tag parse -> SD-1.5-size image generation (bf16, CFG).
+    Models are resident (one-time compile excluded, like a warm server)."""
+    import numpy as np
+
+    from spider_tpu.models import llama as L
+    from spider_tpu.models import tags
+    from spider_tpu.models.clip_text import CLIPTextModel, clip_vit_l14
+    from spider_tpu.models.decode import GenerateConfig, make_generate_fn
+    from spider_tpu.models.pipelines.sd import StableDiffusionPipeline
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.models.unet2d import UNet2DConditionModel, unet_sd15
+    from spider_tpu.models.vae import AutoencoderKL, vae_sd
+
+    rng = jax.random.PRNGKey(0)
+    # LLM: 8B int8
+    lcfg = dataclasses.replace(L.llama3_8b(), quantization="int8",
+                               param_dtype=jnp.bfloat16)
+    llm = L.LlamaForCausalLM(lcfg)
+    ids = jnp.ones((1, prompt_len), jnp.int32)
+    lparams = llm.init(rng, ids[:, :8])
+    gen = make_generate_fn(llm, GenerateConfig(max_new_tokens=new_tokens))
+    emb = llm.apply(lparams, ids, method=llm.embed)
+    plen = jnp.full((1,), prompt_len, jnp.int32)
+
+    # SD-1.5 (full size, bf16)
+    tok = TinyTokenizer()
+    tcfg = dataclasses.replace(clip_vit_l14(), dtype=jnp.bfloat16)
+    text = CLIPTextModel(tcfg)
+    tparams = text.init(rng, jnp.zeros((1, 77), jnp.int32))
+    ucfg = dataclasses.replace(unet_sd15(), dtype=jnp.bfloat16)
+    unet = UNet2DConditionModel(ucfg)
+    uparams = unet.init(rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 77, 768), jnp.bfloat16))
+    vcfg = dataclasses.replace(vae_sd(), dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+    pipe = StableDiffusionPipeline(tok, text, tparams, unet, uparams, vae,
+                                   vparams, height=image_px, width=image_px)
+
+    def one_request():
+        out = gen(lparams, emb, plen, jax.random.PRNGKey(1))
+        _ = np.asarray(out["tokens"])  # decode done (random tokens)
+        answer = "A horse<IMAGE>A running horse on a beach</IMAGE>."
+        caps = tags.get_llm_text_res(answer, "IMAGE")
+        img = pipe(prompt=caps, guidance_scale=7.5,
+                   num_inference_steps=image_steps)
+        return img
+
+    one_request()  # compile + warm
+    t0 = time.perf_counter()
+    one_request()
+    dt = time.perf_counter() - t0
+    return dict(metric="e2e any-to-many sec/request (8B int8 decode "
+                       f"{new_tokens} tok + SD-1.5 {image_px}px "
+                       f"{image_steps} steps, 1 chip)",
+                value=round(dt, 2), unit="s/request")
+
+
 def main():
     import sys
 
@@ -90,6 +152,8 @@ def main():
         results.append(bench_unet("SDXL 768px", unet_sdxl(), 96, 77, added))
     if which in ("all", "decode"):
         results.append(bench_batched_decode(8))
+    if which in ("e2e",):
+        results.append(bench_e2e_any_to_many())
 
     with open("bench_details.json", "w") as f:
         json.dump(results, f, indent=2)

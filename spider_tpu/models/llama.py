@@ -64,6 +64,14 @@ class LlamaConfig:
     quantization: Optional[str] = None
     # Qwen2-family: bias on q/k/v projections (o/mlp stay bias-free).
     attention_bias: bool = False
+    # Context parallelism: shard the sequence over this mesh axis and run
+    # ring attention for the (cache-free) training forward. Set via
+    # `with_context_parallel(mesh)`.
+    context_mesh: Optional[Any] = None
+    context_axis: str = "context"
+
+    def with_context_parallel(self, mesh, axis: str = "context"):
+        return dataclasses.replace(self, context_mesh=mesh, context_axis=axis)
 
     @property
     def head_dim_(self) -> int:
@@ -234,6 +242,13 @@ class LlamaAttention(nn.Module):
                 out = flash_attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
                                       causal=True, kv_len=kv_len,
                                       q_offset=kv_write_index)
+        elif cfg.context_mesh is not None:
+            # Context-parallel training forward: exact ring attention over
+            # the sequence axis (SURVEY.md §2.3 SP/CP row).
+            from spider_tpu.ops.ring_attention import ring_attention
+
+            out = ring_attention(q, k, v, cfg.context_mesh,
+                                 axis=cfg.context_axis, causal=True)
         else:
             out = flash_attention(q, k, v, causal=True)
 

@@ -152,3 +152,22 @@ def test_gpipe_matches_sequential():
         want = stage({"w": ws[s], "b": bs[s]}, want)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_context_parallel_llama_forward_matches():
+    """Llama forward with ring attention over a context axis == plain."""
+    import dataclasses
+
+    cmesh = dist.make_mesh(data=2, context=4)
+    cfg = L.llama_tiny(vocab_size=64)
+    model = L.LlamaForCausalLM(cfg)
+    ids = jnp.ones((1, 32), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    want, _, _ = model.apply(params, ids)
+
+    cp_cfg = cfg.with_context_parallel(cmesh)
+    cp_model = L.LlamaForCausalLM(cp_cfg)
+    with cmesh:
+        got, _, _ = cp_model.apply(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
