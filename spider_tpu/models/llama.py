@@ -69,6 +69,13 @@ class LlamaConfig:
     # `with_context_parallel(mesh)`.
     context_mesh: Optional[Any] = None
     context_axis: str = "context"
+    # Mixture-of-experts FFN (torchscale-parity, SURVEY.md §2.2): >0 replaces
+    # every MLP with num_experts capacity-gated experts; shard the expert dim
+    # over the `expert` mesh axis via the partition rules for EP.
+    num_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 2.0
+    moe_aux_weight: float = 0.01
 
     def with_context_parallel(self, mesh, axis: str = "context"):
         return dataclasses.replace(self, context_mesh=mesh, context_axis=axis)
@@ -277,6 +284,38 @@ class LlamaMLP(nn.Module):
         return proj("down_proj", cfg.hidden_size)(nn.silu(gate) * up)
 
 
+class LlamaMoEMLP(nn.Module):
+    """Capacity-gated MoE FFN (torchscale xmoe analogue inside the LLM).
+    Expert weights carry a leading E axis sharded over `expert` by the
+    partition rules; the dispatch einsums propagate that sharding (EP)."""
+
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        from spider_tpu.parallel.moe import MoEConfig, moe_ffn_local
+
+        B, T, H = x.shape
+        params = {
+            "wg": self.param("wg", nn.initializers.normal(0.02),
+                             (H, cfg.num_experts), jnp.float32),
+            "w1": self.param("w1", nn.initializers.lecun_normal(),
+                             (cfg.num_experts, H, cfg.intermediate_size),
+                             cfg.param_dtype).astype(cfg.dtype),
+            "w2": self.param("w2", nn.initializers.lecun_normal(),
+                             (cfg.num_experts, cfg.intermediate_size, H),
+                             cfg.param_dtype).astype(cfg.dtype),
+        }
+        mcfg = MoEConfig(num_experts=cfg.num_experts, d_model=H,
+                         d_ff=cfg.intermediate_size,
+                         capacity_factor=cfg.moe_capacity_factor,
+                         top_k=cfg.moe_top_k, dtype=cfg.dtype)
+        out, aux = moe_ffn_local(params, x.reshape(B * T, H), mcfg)
+        self.sow("losses", "moe_aux", aux)
+        return out.reshape(B, T, H)
+
+
 class LlamaBlock(nn.Module):
     config: LlamaConfig
 
@@ -291,7 +330,8 @@ class LlamaBlock(nn.Module):
         x = x + attn_out
         w2 = self.param("post_attention_layernorm", nn.initializers.ones,
                         (cfg.hidden_size,), cfg.param_dtype)
-        x = x + LlamaMLP(cfg, name="mlp")(rms_norm(x, w2, cfg.rms_norm_eps))
+        mlp_cls = LlamaMoEMLP if cfg.num_experts > 0 else LlamaMLP
+        x = x + mlp_cls(cfg, name="mlp")(rms_norm(x, w2, cfg.rms_norm_eps))
         return x, new_cache
 
 
@@ -316,7 +356,7 @@ class LlamaModel(nn.Module):
 
         scan = nn.scan(
             body,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "losses": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, 0, nn.broadcast),
             out_axes=0,

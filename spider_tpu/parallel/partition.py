@@ -32,6 +32,10 @@ LLAMA_RULES: List[Tuple[str, P]] = [
     (r"(o_proj|down_proj)/kernel_scale$", P(None, "fsdp")),
     (r"lora_a$", P(None, "fsdp", None)),
     (r"lora_b$", P(None, None, "model")),
+    # MoE FFN: experts over the expert axis (EP), [L, E, in, out]
+    (r"mlp/w1$", P(None, "expert", "fsdp", "model")),
+    (r"mlp/w2$", P(None, "expert", "model", "fsdp")),
+    (r"mlp/wg$", P(None, "fsdp", None)),
     # embeddings / head
     (r"embed_tokens/embedding$", P("model", "fsdp")),
     (r"lm_head/kernel$", P("fsdp", "model")),

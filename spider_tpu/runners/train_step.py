@@ -61,10 +61,20 @@ def make_lm_train_step(model: LlamaForCausalLM,
     """Returns step(state, batch) -> (state, metrics). batch: input_ids,
     labels [B, T] (labels -100 outside answer spans)."""
 
+    moe = model.config.num_experts > 0
+
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
-            logits, _, _ = model.apply(params, batch["input_ids"])
+            if moe:
+                (logits, _, _), mut = model.apply(
+                    params, batch["input_ids"], mutable=["losses"])
+                aux = sum(jnp.mean(x) for x in
+                          jax.tree_util.tree_leaves(mut["losses"]))
+            else:
+                logits, _, _ = model.apply(params, batch["input_ids"])
+                aux = 0.0
             loss, acc = cross_entropy_loss(logits, batch["labels"])
+            loss = loss + model.config.moe_aux_weight * aux
             return loss, acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

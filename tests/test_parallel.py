@@ -171,3 +171,31 @@ def test_context_parallel_llama_forward_matches():
         got, _, _ = cp_model.apply(params, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_moe_llama_trains_with_ep_sharding(mesh):
+    """MoE-FFN Llama: experts sharded over the expert axis, aux loss in the
+    objective, loss reduces."""
+    import dataclasses
+
+    cfg = dataclasses.replace(L.llama_tiny(vocab_size=64), num_experts=4,
+                              intermediate_size=32)
+    emesh = dist.make_mesh(data=2, fsdp=1, model=1, expert=4)
+    model = L.LlamaForCausalLM(cfg)
+    tx = TS.build_optimizer(1e-2)
+    ids = jnp.ones((4, 8), jnp.int32)
+    state = TS.init_sharded_state(model, tx, emesh, ids)
+    # expert dim actually sharded
+    w1 = state.params["params"]["model"]["layers"]["mlp"]["w1"]
+    spec = w1.sharding.spec
+    assert "expert" in str(spec)
+    step = TS.make_jitted_train_step(model, tx, emesh, state)
+    batch = dict(
+        input_ids=jax.random.randint(jax.random.PRNGKey(0), (4, 8), 0, 64),
+        labels=jax.random.randint(jax.random.PRNGKey(0), (4, 8), 0, 64),
+    )
+    with emesh:
+        state, m0 = step(state, batch)
+        for _ in range(10):
+            state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
