@@ -61,6 +61,17 @@ def _inverse_sigmoid(x, eps=1e-5):
     return jnp.log(x / (1 - x))
 
 
+def _sine_embed(coords: jnp.ndarray, num_feats: int,
+                temperature: float = 10000.0) -> jnp.ndarray:
+    """Sine/cosine positional encoding per coordinate: [..., C] coords ->
+    [..., C * num_feats] (deformable-DETR convention)."""
+    dim_t = jnp.arange(num_feats // 2, dtype=jnp.float32)
+    dim_t = temperature ** (2 * dim_t / num_feats)
+    pos = coords[..., None] * 2 * math.pi / dim_t          # [..., C, nf/2]
+    out = jnp.concatenate([jnp.sin(pos), jnp.cos(pos)], axis=-1)
+    return out.reshape(coords.shape[:-1] + (-1,))
+
+
 class MSDeformAttnLayer(nn.Module):
     """One multi-scale deformable attention block (self or cross)."""
 
@@ -263,9 +274,18 @@ class GroundingDINO(nn.Module):
         spatial_shapes = tuple((f.shape[1], f.shape[2]) for f in levels)
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (cfg.num_levels, C), jnp.float32)
-        img = jnp.concatenate(
-            [f.reshape(B, -1, C) + level_embed[i].astype(cfg.dtype)
-             for i, f in enumerate(levels)], axis=1)
+        # per-pixel sine positional encoding + per-level embedding
+        parts = []
+        for i, f in enumerate(levels):
+            h, w = f.shape[1], f.shape[2]
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+            pos = _sine_embed(grid.reshape(-1, 2), C // 2)   # [h*w, C]
+            parts.append(f.reshape(B, -1, C)
+                         + pos[None].astype(cfg.dtype)
+                         + level_embed[i].astype(cfg.dtype))
+        img = jnp.concatenate(parts, axis=1)
 
         # text
         txt_raw, _ = BertModel(cfg.bert, name="bert")(text_ids, text_mask)
@@ -298,15 +318,25 @@ class GroundingDINO(nn.Module):
             axis=-1)
         ref_boxes = jax.nn.sigmoid(init_boxes)             # [B, K, 4] cxcywh
         queries = jax.lax.stop_gradient(sel)
-        query_pos = nn.Dense(C, dtype=cfg.dtype, name="ref_point_head")(
-            jax.lax.stop_gradient(ref_boxes))
 
-        box_head = BoxHead(cfg.dtype, name="dec_box_head")
+        # Shared ref_point_head (deformable-DETR): sine embedding of the 4
+        # box coords -> 2-layer MLP; module instances created once, applied
+        # per layer (shared weights).
+        rp_fc1 = nn.Dense(C, dtype=cfg.dtype, name="ref_point_fc1")
+        rp_fc2 = nn.Dense(C, dtype=cfg.dtype, name="ref_point_fc2")
+
+        def ref_point_head(boxes):
+            e = _sine_embed(jax.lax.stop_gradient(boxes), C // 2)  # [B,K,2C]
+            return rp_fc2(jax.nn.relu(rp_fc1(e.astype(cfg.dtype))))
+
         for i in range(cfg.dec_layers):
+            # query pos re-derived from the CURRENT reference boxes each layer
+            query_pos = ref_point_head(ref_boxes)
             queries = DecoderLayer(cfg, name=f"dec_{i}")(
                 queries, query_pos, img, txt, ref_boxes, spatial_shapes,
                 txt_len)
-            delta = box_head(queries)
+            # per-layer box refinement branch (mm reg_branches analogue)
+            delta = BoxHead(cfg.dtype, name=f"dec_box_head_{i}")(queries)
             ref_boxes = jax.nn.sigmoid(_inverse_sigmoid(ref_boxes) + delta)
             ref_boxes = jax.lax.stop_gradient(ref_boxes)
 
