@@ -645,3 +645,57 @@ def convert_swin_state_dict(sd: Dict[str, np.ndarray], cfg,
             p[f"out_norm{s}"] = _gn(sd, f"{prefix}norm{s}")
             out_i += 1
     return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# SpeechT5 HiFiGAN vocoder -> spider_tpu.models.vocoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(w) -> np.ndarray:
+    """torch Conv1d [out, in, k] -> flax [k, in, out]."""
+    return np.asarray(w, np.float32).transpose(2, 1, 0)
+
+
+def _convT1d(w) -> np.ndarray:
+    """torch ConvTranspose1d [in, out, k] -> flax [k, in, out]."""
+    return np.asarray(w, np.float32).transpose(2, 0, 1)
+
+
+def _wn(sd, key):
+    """Resolve a (possibly weight-normed) conv weight."""
+    if key + ".weight" in sd:
+        return np.asarray(sd[key + ".weight"], np.float32)
+    g = np.asarray(sd[key + ".weight_g"], np.float32)
+    v = np.asarray(sd[key + ".weight_v"], np.float32)
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def convert_hifigan_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """HF SpeechT5HifiGan names -> spider_tpu HifiGan tree."""
+    p: Dict[str, Any] = {
+        "conv_pre": {"kernel": _conv1d(_wn(sd, "conv_pre")),
+                     "bias": np.asarray(sd["conv_pre.bias"], np.float32)},
+        "conv_post": {"kernel": _conv1d(_wn(sd, "conv_post")),
+                      "bias": np.asarray(sd["conv_post.bias"], np.float32)},
+    }
+    if cfg.normalize_before:
+        p["mean"] = np.asarray(sd["mean"], np.float32)
+        p["scale"] = np.asarray(sd["scale"], np.float32)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        p[f"up_{i}"] = {"kernel": _convT1d(_wn(sd, f"upsampler.{i}")),
+                        "bias": np.asarray(sd[f"upsampler.{i}.bias"],
+                                           np.float32)}
+        for j in range(n_kernels):
+            r = f"resblocks.{i * n_kernels + j}."
+            blk: Dict[str, Any] = {}
+            for d in range(len(cfg.resblock_dilation_sizes[j])):
+                blk[f"conv1_{d}"] = {
+                    "kernel": _conv1d(_wn(sd, r + f"convs1.{d}")),
+                    "bias": np.asarray(sd[r + f"convs1.{d}.bias"], np.float32)}
+                blk[f"conv2_{d}"] = {
+                    "kernel": _conv1d(_wn(sd, r + f"convs2.{d}")),
+                    "bias": np.asarray(sd[r + f"convs2.{d}.bias"], np.float32)}
+            p[f"res_{i}_{j}"] = blk
+    return {"params": _to_jnp(p)}

@@ -362,3 +362,61 @@ def test_swin_converter_roundtrip():
             jax.tree_util.tree_leaves_with_path(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    err_msg=str(pa))
+
+
+def test_hifigan_converter_roundtrip():
+    from spider_tpu.models.convert import convert_hifigan_state_dict
+    from spider_tpu.models.vocoder import HifiGan, hifigan_tiny
+
+    cfg = hifigan_tiny()
+    model = HifiGan(cfg)
+    mel = jnp.zeros((1, 10, cfg.model_in_dim))
+    params = model.init(jax.random.PRNGKey(0), mel)
+    p = params["params"]
+    sd = {}
+
+    def inv1d(kern):  # flax [k,in,out] -> torch conv1d [out,in,k]
+        return np.asarray(kern).transpose(2, 1, 0)
+
+    def invT1d(kern):  # flax [k,in,out] -> torch convT1d [in,out,k]
+        return np.asarray(kern).transpose(1, 2, 0)
+
+    sd["conv_pre.weight"] = inv1d(p["conv_pre"]["kernel"])
+    sd["conv_pre.bias"] = np.asarray(p["conv_pre"]["bias"])
+    sd["conv_post.weight"] = inv1d(p["conv_post"]["kernel"])
+    sd["conv_post.bias"] = np.asarray(p["conv_post"]["bias"])
+    sd["mean"] = np.asarray(p["mean"])
+    sd["scale"] = np.asarray(p["scale"])
+    nk = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        sd[f"upsampler.{i}.weight"] = invT1d(p[f"up_{i}"]["kernel"])
+        sd[f"upsampler.{i}.bias"] = np.asarray(p[f"up_{i}"]["bias"])
+        for j in range(nk):
+            r = f"resblocks.{i * nk + j}."
+            blk = p[f"res_{i}_{j}"]
+            for d in range(len(cfg.resblock_dilation_sizes[j])):
+                sd[r + f"convs1.{d}.weight"] = inv1d(blk[f"conv1_{d}"]["kernel"])
+                sd[r + f"convs1.{d}.bias"] = np.asarray(blk[f"conv1_{d}"]["bias"])
+                sd[r + f"convs2.{d}.weight"] = inv1d(blk[f"conv2_{d}"]["kernel"])
+                sd[r + f"convs2.{d}.bias"] = np.asarray(blk[f"conv2_{d}"]["bias"])
+
+    converted = convert_hifigan_state_dict(sd, cfg)
+    assert jax.tree_util.tree_structure(converted) == \
+        jax.tree_util.tree_structure(params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(converted),
+            jax.tree_util.tree_leaves_with_path(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=str(pa))
+
+    # weight-norm form resolves to the same kernel
+    g = np.linalg.norm(sd["conv_pre.weight"].reshape(
+        sd["conv_pre.weight"].shape[0], -1), axis=1).reshape(-1, 1, 1)
+    sd2 = dict(sd)
+    sd2["conv_pre.weight_g"] = g
+    sd2["conv_pre.weight_v"] = sd["conv_pre.weight"]
+    del sd2["conv_pre.weight"]
+    conv2 = convert_hifigan_state_dict(sd2, cfg)
+    np.testing.assert_allclose(
+        np.asarray(conv2["params"]["conv_pre"]["kernel"]),
+        np.asarray(converted["params"]["conv_pre"]["kernel"]), rtol=1e-5)
