@@ -84,6 +84,29 @@ def serialize_event(kind: str, payload: Any) -> dict:
     return {"kind": kind, "data": str(payload)}
 
 
+def build_ask_info(req: dict) -> dict:
+    """Assemble decoder-side inputs from a request (the role of
+    frontend.py:503-651): base64 'image' -> Image_ori_array + IMAGE_SAM +
+    Meta_info so the MASK/BOX decoders can run; 'audio'/'video' payloads are
+    forwarded raw for the chat backbone."""
+    import numpy as np
+
+    ask: dict = {}
+    if req.get("image"):
+        from PIL import Image
+
+        from spider_tpu.processors.vision import sam_preprocess
+
+        raw = base64.b64decode(req["image"])
+        img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+        sam_img, sam_hw = sam_preprocess(img)
+        ask["Image_ori_array"] = [img]
+        ask["IMAGE_SAM"] = [sam_img]
+        ask["Meta_info"] = {"original_shape": [img.shape[:2]],
+                            "sam_shape": [sam_hw]}
+    return ask
+
+
 def make_handler(spider_free):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
@@ -98,7 +121,8 @@ def make_handler(spider_free):
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
-            events, answers, _, _ = spider_free.chat(req.get("text", ""))
+            events, answers, _, _ = spider_free.chat(
+                req.get("text", ""), extra_inputs=build_ask_info(req))
             body = json.dumps({
                 "answer": answers[0] if answers else "",
                 "events": [serialize_event(k, p) for k, p in events

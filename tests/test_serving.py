@@ -132,3 +132,39 @@ def test_llm_batcher_batches_and_answers():
     single = b.chat("hello number 0", timeout=300)
     assert single == outs[0]  # greedy + same prompt => same continuation
     b.close()
+
+
+def test_http_server_image_input_reaches_decoders(decoder_cfg):
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from spider_tpu.serving.http_server import serve
+
+    seen = {}
+
+    def box_fn(image, caption):
+        seen["shape"] = np.asarray(image).shape
+        return dict(bboxes=[[0, 0, 5, 5]], label_names=[caption], scores=[0.9])
+
+    sf = SpiderFree(decoder_cfg, _echo_chat("Dog<BOX>Dog</BOX>"),
+                    decoders={"BOX": box_fn})
+    server = serve(sf, port=0, background=True)
+    port = server.server_address[1]
+    img = Image.fromarray(np.zeros((20, 30, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/chat",
+        data=json.dumps({"text": "box the dog",
+                         "image": base64.b64encode(buf.getvalue()).decode()}
+                        ).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        out = json.loads(resp.read())
+    assert seen["shape"] == (20, 30, 3)
+    kinds = [e["kind"] for e in out["events"]]
+    assert "box" in kinds
+    server.shutdown()
