@@ -699,3 +699,98 @@ def convert_hifigan_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
                     "bias": np.asarray(sd[r + f"convs2.{d}.bias"], np.float32)}
             p[f"res_{i}_{j}"] = blk
     return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# diffusers UNet3DConditionModel (ZeroScope) -> spider_tpu.models.unet3d
+# ---------------------------------------------------------------------------
+
+def _conv3d_t(w) -> np.ndarray:
+    """torch Conv3d [out, in, 3, 1, 1] (temporal-only kernel) -> flax 1D
+    conv [3, in, out]."""
+    w = np.asarray(w, np.float32)
+    return w[:, :, :, 0, 0].transpose(2, 1, 0)
+
+
+def _temporal_conv(sd, pre):
+    p = {}
+    for i in range(1, 5):
+        # Sequential(GroupNorm, SiLU[, Dropout], Conv3d): conv index is 2
+        # for conv1, 3 otherwise.
+        conv_idx = 2 if i == 1 else 3
+        p[f"norm{i}"] = _gn(sd, f"{pre}.conv{i}.0")
+        p[f"conv{i}"] = {
+            "kernel": _conv3d_t(sd[f"{pre}.conv{i}.{conv_idx}.weight"]),
+            "bias": np.asarray(sd[f"{pre}.conv{i}.{conv_idx}.bias"],
+                               np.float32)}
+    return p
+
+
+def _temporal_transformer(sd, pre, depth=1):
+    p = {"norm": _gn(sd, pre + ".norm"),
+         "proj_in": _d(sd, pre + ".proj_in"),
+         "proj_out": _d(sd, pre + ".proj_out")}
+    for k in range(depth):
+        b = f"{pre}.transformer_blocks.{k}"
+        blk = {}
+        for a in ("attn1", "attn2"):
+            blk[f"{a}_q"] = _d(sd, f"{b}.{a}.to_q")
+            blk[f"{a}_k"] = _d(sd, f"{b}.{a}.to_k")
+            blk[f"{a}_v"] = _d(sd, f"{b}.{a}.to_v")
+            blk[f"{a}_out"] = _d(sd, f"{b}.{a}.to_out.0")
+        for n in ("norm1", "norm2", "norm3"):
+            blk[n] = _gn(sd, f"{b}.{n}")
+        blk["ff_proj_in"] = _d(sd, f"{b}.ff.net.0.proj")
+        blk["ff_proj_out"] = _d(sd, f"{b}.ff.net.2")
+        p[f"block_{k}"] = blk
+    return p
+
+
+def convert_unet3d_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """diffusers UNet3DConditionModel names -> spider_tpu UNet3DCondition
+    tree (ZeroScope layout: resnets/temp_convs/attentions/temp_attentions +
+    transformer_in)."""
+    n = len(cfg.block_out_channels)
+    p: Dict[str, Any] = {
+        "conv_in": _c(sd, "conv_in"),
+        "time_embed_1": _d(sd, "time_embedding.linear_1"),
+        "time_embed_2": _d(sd, "time_embedding.linear_2"),
+        "norm_out": _gn(sd, "conv_norm_out"),
+        "conv_out": _c(sd, "conv_out"),
+        "transformer_in": _temporal_transformer(sd, "transformer_in"),
+    }
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            p[f"down_{i}_res_{j}"] = _unet_resnet(
+                sd, f"down_blocks.{i}.resnets.{j}")
+            p[f"down_{i}_tconv_{j}"] = _temporal_conv(
+                sd, f"down_blocks.{i}.temp_convs.{j}")
+            if cfg.cross_attn_blocks[i]:
+                p[f"down_{i}_attn_{j}"] = _unet_attn(
+                    sd, f"down_blocks.{i}.attentions.{j}", 1)
+                p[f"down_{i}_tattn_{j}"] = _temporal_transformer(
+                    sd, f"down_blocks.{i}.temp_attentions.{j}")
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = _c(
+                sd, f"down_blocks.{i}.downsamplers.0.conv")
+    p["mid_res_0"] = _unet_resnet(sd, "mid_block.resnets.0")
+    p["mid_tconv_0"] = _temporal_conv(sd, "mid_block.temp_convs.0")
+    p["mid_attn"] = _unet_attn(sd, "mid_block.attentions.0", 1)
+    p["mid_tattn"] = _temporal_transformer(sd, "mid_block.temp_attentions.0")
+    p["mid_res_1"] = _unet_resnet(sd, "mid_block.resnets.1")
+    p["mid_tconv_1"] = _temporal_conv(sd, "mid_block.temp_convs.1")
+    rev_attn = list(reversed(cfg.cross_attn_blocks))
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            p[f"up_{i}_res_{j}"] = _unet_resnet(
+                sd, f"up_blocks.{i}.resnets.{j}")
+            p[f"up_{i}_tconv_{j}"] = _temporal_conv(
+                sd, f"up_blocks.{i}.temp_convs.{j}")
+            if rev_attn[i]:
+                p[f"up_{i}_attn_{j}"] = _unet_attn(
+                    sd, f"up_blocks.{i}.attentions.{j}", 1)
+                p[f"up_{i}_tattn_{j}"] = _temporal_transformer(
+                    sd, f"up_blocks.{i}.temp_attentions.{j}")
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = _c(sd, f"up_blocks.{i}.upsamplers.0.conv")
+    return {"params": _to_jnp(p)}

@@ -2,9 +2,10 @@
 TextToVideoSD class; cf. /root/reference/spider/models/custom_vd.py).
 
 Layout [B, F, H, W, C]: spatial ops fold frames into the batch; temporal ops
-(1-D conv + temporal self-attention) fold pixels into the batch. This mirrors
-the factorized spatio-temporal design of diffusers' UNet3DConditionModel while
-staying XLA-friendly (static folds, no python loops over frames).
+fold pixels into the batch over F. Block structure mirrors diffusers'
+UNet3DConditionModel one-to-one (resnets / temp_convs / attentions /
+temp_attentions + a stem temporal transformer) so ZeroScope checkpoints
+convert directly (spider_tpu.models.convert.convert_unet3d_state_dict).
 """
 
 from __future__ import annotations
@@ -17,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from spider_tpu.models.schedulers import timestep_embedding
-from spider_tpu.models.unet2d import (BasicTransformerBlock, ResnetBlock2D,
-                                      Transformer2D, _attention)
+from spider_tpu.models.unet2d import (ResnetBlock2D, Transformer2D,
+                                      _attention)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,47 +59,82 @@ def _unfold_frames(x, bf):
 
 
 class TemporalConv(nn.Module):
+    """diffusers TemporalConvLayer: 4 x (GroupNorm -> SiLU -> conv over F),
+    residual, last conv zero-init (identity at init)."""
+
     channels: int
     groups: int
     dtype: Any
 
     @nn.compact
     def __call__(self, x):
-        """x: [B, F, H, W, C]; conv over F. Zero-init output conv => identity
-        at init (diffusers TemporalConvLayer convention)."""
         B, F, H, W, C = x.shape
         h = x.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, C)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=self.dtype, name="norm")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.channels, (3,), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.channels, (3,), padding=1, dtype=self.dtype,
-                    kernel_init=nn.initializers.zeros, name="conv2")(h)
+        for i in range(1, 5):
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             dtype=self.dtype, name=f"norm{i}")(h)
+            h = nn.silu(h)
+            init = nn.initializers.zeros if i == 4 \
+                else nn.initializers.lecun_normal()
+            h = nn.Conv(self.channels, (3,), padding=1, dtype=self.dtype,
+                        kernel_init=init, name=f"conv{i}")(h)
         h = h.reshape(B, H, W, F, C).transpose(0, 3, 1, 2, 4)
         return x + h
 
 
-class TransformerTemporal(nn.Module):
+class TemporalBasicBlock(nn.Module):
+    """BasicTransformerBlock over the frame axis (attn1 + attn2 both
+    self-attention here — diffusers passes no temporal context)."""
+
     heads: int
-    groups: int
     dtype: Any
 
     @nn.compact
+    def __call__(self, h):
+        C = h.shape[-1]
+
+        def attn(name, x):
+            q = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                         name=f"{name}_q")(x)
+            k = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                         name=f"{name}_k")(x)
+            v = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                         name=f"{name}_v")(x)
+            return nn.Dense(C, dtype=self.dtype, name=f"{name}_out")(
+                _attention(q, k, v, self.heads))
+
+        h = h + attn("attn1", nn.LayerNorm(dtype=self.dtype, name="norm1")(h))
+        h = h + attn("attn2", nn.LayerNorm(dtype=self.dtype, name="norm2")(h))
+        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(h)
+        a, b = jnp.split(nn.Dense(C * 8, dtype=self.dtype,
+                                  name="ff_proj_in")(y), 2, axis=-1)
+        return h + nn.Dense(C, dtype=self.dtype, name="ff_proj_out")(
+            a * jax.nn.gelu(b))
+
+
+class TransformerTemporal(nn.Module):
+    """diffusers TransformerTemporalModel: GroupNorm -> proj_in -> blocks
+    over frames -> proj_out, residual."""
+
+    heads: int
+    groups: int
+    dtype: Any
+    depth: int = 1
+
+    @nn.compact
     def __call__(self, x):
-        """Temporal self-attention over frames; zero-init out => identity."""
         B, F, H, W, C = x.shape
+        residual = x
         h = x.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, C)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
-        q = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_q")(h)
-        k = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_k")(h)
-        v = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_v")(h)
-        att = _attention(q, k, v, self.heads)
-        out = nn.Dense(C, dtype=self.dtype,
-                       kernel_init=nn.initializers.zeros, name="to_out")(att)
-        out = out.reshape(B, H, W, F, C).transpose(0, 3, 1, 2, 4)
-        return x + out
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(h)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = TemporalBasicBlock(self.heads, self.dtype,
+                                   name=f"block_{i}")(h)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        h = h.reshape(B, H, W, F, C).transpose(0, 3, 1, 2, 4)
+        return residual + h
 
 
 class UNet3DConditionModel(nn.Module):
@@ -120,6 +156,10 @@ class UNet3DConditionModel(nn.Module):
         x, bf = _fold_frames(sample)
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=cfg.dtype, name="conv_in")(x)
+        # stem temporal transformer (diffusers transformer_in)
+        x = _fold_frames(TransformerTemporal(
+            cfg.num_attention_heads[0], cfg.norm_num_groups, cfg.dtype,
+            name="transformer_in")(_unfold_frames(x, bf)))[0]
         skips = [x]
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
@@ -144,6 +184,9 @@ class UNet3DConditionModel(nn.Module):
         ch = cfg.block_out_channels[-1]
         x = ResnetBlock2D(ch, cfg.norm_num_groups, cfg.dtype,
                           name="mid_res_0")(x, temb_f)
+        x = _fold_frames(TemporalConv(ch, cfg.norm_num_groups, cfg.dtype,
+                                      name="mid_tconv_0")(
+            _unfold_frames(x, bf)))[0]
         x = Transformer2D(cfg.num_attention_heads[-1], 1, cfg.norm_num_groups,
                           cfg.dtype, name="mid_attn")(x, ctx_f)
         x = _fold_frames(TransformerTemporal(
@@ -151,6 +194,9 @@ class UNet3DConditionModel(nn.Module):
             name="mid_tattn")(_unfold_frames(x, bf)))[0]
         x = ResnetBlock2D(ch, cfg.norm_num_groups, cfg.dtype,
                           name="mid_res_1")(x, temb_f)
+        x = _fold_frames(TemporalConv(ch, cfg.norm_num_groups, cfg.dtype,
+                                      name="mid_tconv_1")(
+            _unfold_frames(x, bf)))[0]
 
         rev_channels = list(reversed(cfg.block_out_channels))
         rev_attn = list(reversed(cfg.cross_attn_blocks))

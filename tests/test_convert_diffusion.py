@@ -420,3 +420,98 @@ def test_hifigan_converter_roundtrip():
     np.testing.assert_allclose(
         np.asarray(conv2["params"]["conv_pre"]["kernel"]),
         np.asarray(converted["params"]["conv_pre"]["kernel"]), rtol=1e-5)
+
+
+def _emit_temporal_conv(sd, pre, p):
+    for i in range(1, 5):
+        conv_idx = 2 if i == 1 else 3
+        _emit_module(sd, f"{pre}.conv{i}.0", p[f"norm{i}"])
+        kern = np.asarray(p[f"conv{i}"]["kernel"])  # [3, in, out]
+        sd[f"{pre}.conv{i}.{conv_idx}.weight"] = \
+            kern.transpose(2, 1, 0)[:, :, :, None, None]
+        sd[f"{pre}.conv{i}.{conv_idx}.bias"] = np.asarray(p[f"conv{i}"]["bias"])
+
+
+def _emit_temporal_transformer(sd, pre, p, depth=1):
+    _emit_module(sd, pre + ".norm", p["norm"])
+    _emit_module(sd, pre + ".proj_in", p["proj_in"])
+    _emit_module(sd, pre + ".proj_out", p["proj_out"])
+    for k in range(depth):
+        b = f"{pre}.transformer_blocks.{k}"
+        blk = p[f"block_{k}"]
+        for a in ("attn1", "attn2"):
+            for pp, suffix in (("q", "to_q"), ("k", "to_k"), ("v", "to_v"),
+                               ("out", "to_out.0")):
+                _emit_module(sd, f"{b}.{a}.{suffix}", blk[f"{a}_{pp}"])
+        for n in ("norm1", "norm2", "norm3"):
+            _emit_module(sd, f"{b}.{n}", blk[n])
+        _emit_module(sd, f"{b}.ff.net.0.proj", blk["ff_proj_in"])
+        _emit_module(sd, f"{b}.ff.net.2", blk["ff_proj_out"])
+
+
+def test_unet3d_converter_roundtrip():
+    from spider_tpu.models.convert import convert_unet3d_state_dict
+    from spider_tpu.models.unet3d import UNet3DConditionModel, unet3d_tiny
+
+    cfg = unet3d_tiny()
+    model = UNet3DConditionModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 4)),
+                           jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 7, cfg.cross_attention_dim)))
+    params = {"params": variables["params"]}
+    p = params["params"]
+    n = len(cfg.block_out_channels)
+    sd = {}
+    _emit_module(sd, "conv_in", p["conv_in"])
+    _emit_module(sd, "time_embedding.linear_1", p["time_embed_1"])
+    _emit_module(sd, "time_embedding.linear_2", p["time_embed_2"])
+    _emit_module(sd, "conv_norm_out", p["norm_out"])
+    _emit_module(sd, "conv_out", p["conv_out"])
+    _emit_temporal_transformer(sd, "transformer_in", p["transformer_in"])
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            _emit_resnet(sd, f"down_blocks.{i}.resnets.{j}",
+                         p[f"down_{i}_res_{j}"], with_time=True)
+            _emit_temporal_conv(sd, f"down_blocks.{i}.temp_convs.{j}",
+                                p[f"down_{i}_tconv_{j}"])
+            if cfg.cross_attn_blocks[i]:
+                _emit_unet_attn(sd, f"down_blocks.{i}.attentions.{j}",
+                                p[f"down_{i}_attn_{j}"], 1)
+                _emit_temporal_transformer(
+                    sd, f"down_blocks.{i}.temp_attentions.{j}",
+                    p[f"down_{i}_tattn_{j}"])
+        if i < n - 1:
+            _emit_module(sd, f"down_blocks.{i}.downsamplers.0.conv",
+                         p[f"down_{i}_downsample"])
+    _emit_resnet(sd, "mid_block.resnets.0", p["mid_res_0"], with_time=True)
+    _emit_temporal_conv(sd, "mid_block.temp_convs.0", p["mid_tconv_0"])
+    _emit_unet_attn(sd, "mid_block.attentions.0", p["mid_attn"], 1)
+    _emit_temporal_transformer(sd, "mid_block.temp_attentions.0",
+                               p["mid_tattn"])
+    _emit_resnet(sd, "mid_block.resnets.1", p["mid_res_1"], with_time=True)
+    _emit_temporal_conv(sd, "mid_block.temp_convs.1", p["mid_tconv_1"])
+    rev_attn = list(reversed(cfg.cross_attn_blocks))
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            _emit_resnet(sd, f"up_blocks.{i}.resnets.{j}",
+                         p[f"up_{i}_res_{j}"], with_time=True)
+            _emit_temporal_conv(sd, f"up_blocks.{i}.temp_convs.{j}",
+                                p[f"up_{i}_tconv_{j}"])
+            if rev_attn[i]:
+                _emit_unet_attn(sd, f"up_blocks.{i}.attentions.{j}",
+                                p[f"up_{i}_attn_{j}"], 1)
+                _emit_temporal_transformer(
+                    sd, f"up_blocks.{i}.temp_attentions.{j}",
+                    p[f"up_{i}_tattn_{j}"])
+        if i < n - 1:
+            _emit_module(sd, f"up_blocks.{i}.upsamplers.0.conv",
+                         p[f"up_{i}_upsample"])
+
+    converted = convert_unet3d_state_dict(sd, cfg)
+    assert jax.tree_util.tree_structure(converted) == \
+        jax.tree_util.tree_structure(params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(converted),
+            jax.tree_util.tree_leaves_with_path(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=str(pa))
