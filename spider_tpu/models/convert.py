@@ -794,3 +794,40 @@ def convert_unet3d_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
         if i < n - 1:
             p[f"up_{i}_upsample"] = _c(sd, f"up_blocks.{i}.upsamplers.0.conv")
     return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# CLAP text branch (HF laion/clap: RoBERTa body + 2-layer projection)
+# -> spider_tpu.models.clip_text.ClapTextModel
+# ---------------------------------------------------------------------------
+
+def convert_clap_text_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    pre = "text_model." if any(k.startswith("text_model.") for k in sd) else ""
+    p: Dict[str, Any] = {
+        "token_embedding": {"embedding": np.asarray(
+            sd[f"{pre}embeddings.word_embeddings.weight"], np.float32)},
+        "position_embedding": np.asarray(
+            sd[f"{pre}embeddings.position_embeddings.weight"], np.float32),
+        "embed_ln": {
+            "scale": np.asarray(sd[f"{pre}embeddings.LayerNorm.weight"],
+                                np.float32),
+            "bias": np.asarray(sd[f"{pre}embeddings.LayerNorm.bias"],
+                               np.float32)},
+        "proj_fc1": _d(sd, "text_projection.linear1"),
+        "proj_fc2": _d(sd, "text_projection.linear2"),
+    }
+    for i in range(cfg.num_hidden_layers):
+        b = f"{pre}encoder.layer.{i}."
+        p[f"l{i}_q"] = _d(sd, b + "attention.self.query")
+        p[f"l{i}_k"] = _d(sd, b + "attention.self.key")
+        p[f"l{i}_v"] = _d(sd, b + "attention.self.value")
+        p[f"l{i}_out"] = _d(sd, b + "attention.output.dense")
+        p[f"l{i}_ln1"] = {
+            "scale": np.asarray(sd[b + "attention.output.LayerNorm.weight"]),
+            "bias": np.asarray(sd[b + "attention.output.LayerNorm.bias"])}
+        p[f"l{i}_fc1"] = _d(sd, b + "intermediate.dense")
+        p[f"l{i}_fc2"] = _d(sd, b + "output.dense")
+        p[f"l{i}_ln2"] = {
+            "scale": np.asarray(sd[b + "output.LayerNorm.weight"]),
+            "bias": np.asarray(sd[b + "output.LayerNorm.bias"])}
+    return {"params": _to_jnp(p)}

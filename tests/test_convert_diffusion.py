@@ -515,3 +515,40 @@ def test_unet3d_converter_roundtrip():
             jax.tree_util.tree_leaves_with_path(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    err_msg=str(pa))
+
+
+def test_clap_converter_roundtrip():
+    from spider_tpu.models.clip_text import ClapTextModel, clap_tiny
+    from spider_tpu.models.convert import convert_clap_text_state_dict
+
+    cfg = clap_tiny()
+    model = ClapTextModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 6), jnp.int32))
+    p = params["params"]
+    sd = {}
+    sd["text_model.embeddings.word_embeddings.weight"] = \
+        np.asarray(p["token_embedding"]["embedding"])
+    sd["text_model.embeddings.position_embeddings.weight"] = \
+        np.asarray(p["position_embedding"])
+    _emit_module(sd, "text_model.embeddings.LayerNorm", p["embed_ln"])
+    _emit_module(sd, "text_projection.linear1", p["proj_fc1"])
+    _emit_module(sd, "text_projection.linear2", p["proj_fc2"])
+    for i in range(cfg.num_hidden_layers):
+        b = f"text_model.encoder.layer.{i}."
+        _emit_module(sd, b + "attention.self.query", p[f"l{i}_q"])
+        _emit_module(sd, b + "attention.self.key", p[f"l{i}_k"])
+        _emit_module(sd, b + "attention.self.value", p[f"l{i}_v"])
+        _emit_module(sd, b + "attention.output.dense", p[f"l{i}_out"])
+        _emit_module(sd, b + "attention.output.LayerNorm", p[f"l{i}_ln1"])
+        _emit_module(sd, b + "intermediate.dense", p[f"l{i}_fc1"])
+        _emit_module(sd, b + "output.dense", p[f"l{i}_fc2"])
+        _emit_module(sd, b + "output.LayerNorm", p[f"l{i}_ln2"])
+
+    converted = convert_clap_text_state_dict(sd, cfg)
+    assert jax.tree_util.tree_structure(converted) == \
+        jax.tree_util.tree_structure(params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(converted),
+            jax.tree_util.tree_leaves_with_path(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=str(pa))
