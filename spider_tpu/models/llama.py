@@ -172,8 +172,11 @@ class LoraDense(nn.Module):
                 (in_features, self.features))
             scale = self.param("kernel_scale", nn.initializers.constant(0.01),
                                (self.features,), jnp.float32)
-            kernel = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-            y = jnp.dot(x, kernel)
+            # Per-output-channel scale applied to the matmul OUTPUT: the
+            # int8->bf16 convert fuses into the matmul operand read and no
+            # dequantized [in, out] temporary can exist.
+            y = jnp.dot(x, kernel_q.astype(self.dtype)) \
+                * scale.astype(self.dtype)[None, :]
         else:
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(),
