@@ -58,3 +58,22 @@ def test_runner_trains_and_checkpoints(cfg, tmp_path):
     flat1 = np.asarray(jax.tree_util.tree_leaves(runner.params)[0])
     flat2 = np.asarray(jax.tree_util.tree_leaves(runner2.params)[0])
     np.testing.assert_allclose(flat1, flat2)
+
+
+def test_runner_eval_split(cfg, tmp_path):
+    from spider_tpu import tasks
+
+    cfg2 = Config.fromdict(cfg.to_dict())
+    cfg2.run.output_dir = str(tmp_path / "out")
+    cfg2.run.iters_per_epoch = 1
+    cfg2.datasets["i2t_cc_sbu"]["split"] = "val"
+    task = tasks.setup_task(cfg2)
+    datasets = task.build_datasets(cfg2)
+    assert set(datasets) == {"train", "val"}
+    model = task.build_model(cfg2)
+    runner_cls = registry.get_runner_class("runner_base")
+    runner = runner_cls(cfg=cfg2, task=task, model=model, datasets=datasets,
+                        job_id="test_eval")
+    results = runner.eval_epoch("val", max_batches=1)
+    assert results and "loss" in results[0]
+    assert np.isfinite(results[0]["loss"])
