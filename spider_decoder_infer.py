@@ -21,11 +21,25 @@ def build_default_decoders(tiny: bool = True):
     sd = build_tiny_sd()
     vd = build_tiny_vd()
     ad = build_tiny_ad()
-    return {
-        "IMAGE": lambda prompts, **kw: sd(prompt=prompts, **kw),
-        "VIDEO": lambda prompts, **kw: vd(prompt=prompts, **kw),
-        "AUDIO": lambda prompts, **kw: ad(prompt=prompts, **kw),
-    }
+
+    # The tiny random-init pipelines are smoke-scale: clamp the controller's
+    # production operating points (320x576x16f / 40 steps / 5s) to sizes the
+    # tiny VAE (2x downsample) can afford.
+    def image_fn(prompts, num_inference_steps=40, **kw):
+        return sd(prompt=prompts,
+                  num_inference_steps=min(num_inference_steps, 8))
+
+    def video_fn(prompts, num_inference_steps=40, **kw):
+        return vd(prompt=prompts,
+                  num_inference_steps=min(num_inference_steps, 8),
+                  height=32, width=32, num_frames=4)
+
+    def audio_fn(prompts, num_inference_steps=40, audio_length_in_s=5.0, **kw):
+        return ad(prompt=prompts,
+                  num_inference_steps=min(num_inference_steps, 8),
+                  audio_length_in_s=min(audio_length_in_s, 1.0))
+
+    return {"IMAGE": image_fn, "VIDEO": video_fn, "AUDIO": audio_fn}
 
 
 def main():
