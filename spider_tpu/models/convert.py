@@ -831,3 +831,122 @@ def convert_clap_text_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
             "scale": np.asarray(sd[b + "output.LayerNorm.weight"]),
             "bias": np.asarray(sd[b + "output.LayerNorm.bias"])}
     return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# Grounding DINO (mm_grounding_dino checkpoint) -> spider_tpu.models.dino
+# ---------------------------------------------------------------------------
+
+def _mha_fused(sd, pre):
+    """torch nn.MultiheadAttention -> separate q/k/v/out Dense trees."""
+    w = np.asarray(sd[pre + ".in_proj_weight"], np.float32)
+    b = np.asarray(sd[pre + ".in_proj_bias"], np.float32)
+    qw, kw, vw = np.split(w, 3, axis=0)
+    qb, kb, vb = np.split(b, 3, axis=0)
+    return (
+        {"kernel": qw.T, "bias": qb},
+        {"kernel": kw.T, "bias": kb},
+        {"kernel": vw.T, "bias": vb},
+        _d(sd, pre + ".out_proj"),
+    )
+
+
+def _msda_tree(sd, pre):
+    return {name: _d(sd, f"{pre}.{name}")
+            for name in ("sampling_offsets", "attention_weights",
+                         "value_proj", "output_proj")}
+
+
+def _ffn_tree(sd, pre):
+    return (_d(sd, pre + ".layers.0.0"), _d(sd, pre + ".layers.1"))
+
+
+def _box_mlp(sd, pre):
+    return {"fc0": _d(sd, pre + ".0"), "fc1": _d(sd, pre + ".2"),
+            "out": _d(sd, pre + ".4")}
+
+
+def convert_grounding_dino_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """mmdet GroundingDINO names -> spider_tpu GroundingDINO tree.
+
+    NOTE: validated structurally via the inverse-roundtrip test; key names
+    follow mmdet 3.x conventions and should be re-checked against the real
+    `grounding_dino_swin-t_...pth` when it is available (residual deltas:
+    our class logits keep a 1/sqrt(C) scale and have no ContrastiveEmbed
+    bias).
+    """
+    p: Dict[str, Any] = {
+        "backbone": convert_swin_state_dict(sd, cfg.backbone,
+                                            prefix="backbone.")["params"],
+        "text_proj": _d(sd, "text_feat_map"),
+        "level_embed": np.asarray(sd["level_embed"], np.float32),
+        "query_embedding": np.asarray(sd["query_embedding.weight"],
+                                      np.float32),
+        "enc_out_proj": _d(sd, "memory_trans_fc"),
+        "enc_out_ln": _gn(sd, "memory_trans_norm"),
+        "decoder_norm": _gn(sd, "decoder.norm"),
+        "ref_point_fc1": _d(sd, "decoder.ref_point_head.layers.0"),
+        "ref_point_fc2": _d(sd, "decoder.ref_point_head.layers.1"),
+    }
+    # BERT under language_model.*: strip to HF names for the bert converter.
+    bert_prefix = "language_model.language_backbone.body.model."
+    bert_sd = {k[len(bert_prefix):]: v for k, v in sd.items()
+               if k.startswith(bert_prefix)}
+    p["bert"] = convert_bert_state_dict(bert_sd, cfg.bert)["params"]
+    # neck
+    for i in range(cfg.num_levels - 1):
+        p[f"neck_in{i}"] = _c(sd, f"neck.convs.{i}.conv")
+        p[f"neck_gn{i}"] = _gn(sd, f"neck.convs.{i}.gn")
+    p["neck_extra"] = _c(sd, "neck.extra_convs.0.conv")
+    p["neck_extra_gn"] = _gn(sd, "neck.extra_convs.0.gn")
+    # encoder layers
+    for i in range(cfg.enc_layers):
+        img = f"encoder.layers.{i}."
+        txt = f"encoder.text_layers.{i}."
+        fus = f"encoder.fusion_layers.{i}."
+        tq, tk, tv, tout = _mha_fused(sd, txt + "self_attn.attn")
+        fc1, fc2 = _ffn_tree(sd, img + "ffn")
+        tfc1, tfc2 = _ffn_tree(sd, txt + "ffn")
+        p[f"enc_{i}"] = {
+            "msda": _msda_tree(sd, img + "self_attn"),
+            "img_ln1": _gn(sd, img + "norms.0"),
+            "img_ln2": _gn(sd, img + "norms.1"),
+            "img_fc1": fc1, "img_fc2": fc2,
+            "txt_q": tq, "txt_k": tk, "txt_v": tv, "txt_attn_out": tout,
+            "txt_ln1": _gn(sd, txt + "norms.0"),
+            "txt_ln2": _gn(sd, txt + "norms.1"),
+            "txt_fc1": tfc1, "txt_fc2": tfc2,
+            "fusion": {
+                "ln_img": _gn(sd, fus + "layer_norm_v"),
+                "ln_txt": _gn(sd, fus + "layer_norm_l"),
+                "img_q": _d(sd, fus + "attn.v_proj"),
+                "txt_k": _d(sd, fus + "attn.l_proj"),
+                "img_v": _d(sd, fus + "attn.values_v_proj"),
+                "txt_v": _d(sd, fus + "attn.values_l_proj"),
+                "img_out": _d(sd, fus + "attn.out_v_proj"),
+                "txt_out": _d(sd, fus + "attn.out_l_proj"),
+                "gamma_img": np.asarray(sd[fus + "gamma_v"], np.float32),
+                "gamma_txt": np.asarray(sd[fus + "gamma_l"], np.float32),
+            },
+        }
+    # decoder layers + per-layer box branches
+    for i in range(cfg.dec_layers):
+        d = f"decoder.layers.{i}."
+        sq, sk, sv, sout = _mha_fused(sd, d + "self_attn.attn")
+        tq, tk, tv, tout = _mha_fused(sd, d + "cross_attn_text.attn")
+        fc1, fc2 = _ffn_tree(sd, d + "ffn")
+        p[f"dec_{i}"] = {
+            "self_q": sq, "self_k": sk, "self_v": sv, "self_out": sout,
+            "txt_q": tq, "txt_k": tk, "txt_v": tv, "txt_out": tout,
+            "msda": _msda_tree(sd, d + "cross_attn"),
+            "ln1": _gn(sd, d + "norms.0"),
+            "ln2": _gn(sd, d + "norms.1"),
+            "ln3": _gn(sd, d + "norms.2"),
+            "ln4": _gn(sd, d + "norms.3"),
+            "fc1": fc1, "fc2": fc2,
+        }
+        p[f"dec_box_head_{i}"] = _box_mlp(sd, f"bbox_head.reg_branches.{i}")
+    # encoder-output (two-stage) box head = the extra reg branch
+    p["enc_box_head"] = _box_mlp(sd,
+                                 f"bbox_head.reg_branches.{cfg.dec_layers}")
+    return {"params": _to_jnp(p)}

@@ -261,14 +261,18 @@ class GroundingDINO(nn.Module):
         B = images.shape[0]
         C = cfg.hidden_dim
 
-        # backbone + neck -> num_levels levels of C channels
+        # backbone + neck (ChannelMapper: conv + GroupNorm32 per level)
         feats = SwinTransformer(cfg.backbone, name="backbone")(images)
         levels = []
         for i, f in enumerate(feats):
-            levels.append(nn.Conv(C, (1, 1), dtype=cfg.dtype,
-                                  name=f"neck_in{i}")(f))
+            x = nn.Conv(C, (1, 1), dtype=cfg.dtype, name=f"neck_in{i}")(f)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=cfg.dtype,
+                             name=f"neck_gn{i}")(x)
+            levels.append(x)
         extra = nn.Conv(C, (3, 3), strides=2, padding=1, dtype=cfg.dtype,
                         name="neck_extra")(feats[-1])
+        extra = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=cfg.dtype,
+                             name="neck_extra_gn")(extra)
         levels.append(extra)
         levels = levels[: cfg.num_levels]
         spatial_shapes = tuple((f.shape[1], f.shape[2]) for f in levels)
@@ -317,7 +321,13 @@ class GroundingDINO(nn.Module):
             [_inverse_sigmoid(anchor_xy) + delta[..., :2], delta[..., 2:]],
             axis=-1)
         ref_boxes = jax.nn.sigmoid(init_boxes)             # [B, K, 4] cxcywh
-        queries = jax.lax.stop_gradient(sel)
+        # learned content queries (DINO two-stage convention: static content
+        # embedding + dynamic anchors from query selection)
+        query_embedding = self.param(
+            "query_embedding", nn.initializers.normal(1.0),
+            (cfg.num_queries, C), jnp.float32)
+        queries = jnp.broadcast_to(
+            query_embedding[None, :K].astype(cfg.dtype), (B, K, C))
 
         # Shared ref_point_head (deformable-DETR): sine embedding of the 4
         # box coords -> 2-layer MLP; module instances created once, applied
@@ -340,6 +350,7 @@ class GroundingDINO(nn.Module):
             ref_boxes = jax.nn.sigmoid(_inverse_sigmoid(ref_boxes) + delta)
             ref_boxes = jax.lax.stop_gradient(ref_boxes)
 
+        queries = nn.LayerNorm(dtype=cfg.dtype, name="decoder_norm")(queries)
         logits = jnp.einsum("bkc,btc->bkt", queries, txt) / math.sqrt(C)
         if txt_len is not None:
             t_mask = jnp.arange(txt.shape[1])[None, None, :] < txt_len[:, None, None]

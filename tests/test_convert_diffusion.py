@@ -552,3 +552,151 @@ def test_clap_converter_roundtrip():
             jax.tree_util.tree_leaves_with_path(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    err_msg=str(pa))
+
+
+def test_grounding_dino_converter_roundtrip():
+    from spider_tpu.models.convert import convert_grounding_dino_state_dict
+    from spider_tpu.models.dino import GroundingDINO, grounding_dino_test
+
+    cfg = grounding_dino_test()
+    model = GroundingDINO(cfg)
+    ids = jnp.ones((1, cfg.max_text_len), jnp.int32)
+    mask = jnp.ones((1, cfg.max_text_len), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)),
+                        ids, mask)
+    p = params["params"]
+    sd = {}
+
+    # ---- swin backbone (reuse the swin emitter) ----
+    bp = p["backbone"]
+    _emit_module(sd, "backbone.patch_embed.projection", bp["patch_embed"])
+    _emit_module(sd, "backbone.patch_embed.norm", bp["patch_norm"])
+    scfg = cfg.backbone
+    for s, depth in enumerate(scfg.depths):
+        for b in range(depth):
+            base = f"backbone.stages.{s}.blocks.{b}."
+            blk = bp[f"stage{s}_block{b}"]
+            _emit_module(sd, base + "norm1", blk["norm1"])
+            _emit_module(sd, base + "norm2", blk["norm2"])
+            sd[base + "attn.w_msa.qkv.weight"] = np.concatenate(
+                [np.asarray(blk[x]["kernel"]).T for x in "qkv"], axis=0)
+            sd[base + "attn.w_msa.qkv.bias"] = np.concatenate(
+                [np.asarray(blk[x]["bias"]) for x in "qkv"], axis=0)
+            _emit_module(sd, base + "attn.w_msa.proj", blk["proj"])
+            sd[base + "attn.w_msa.relative_position_bias_table"] = \
+                np.asarray(blk["rel_pos_bias"])
+            _emit_module(sd, base + "ffn.layers.0.0", blk["fc1"])
+            _emit_module(sd, base + "ffn.layers.1", blk["fc2"])
+        if s < len(scfg.depths) - 1:
+            _emit_module(sd, f"backbone.stages.{s}.downsample.norm",
+                         bp[f"merge{s}"]["norm"])
+            sd[f"backbone.stages.{s}.downsample.reduction.weight"] = \
+                np.asarray(bp[f"merge{s}"]["reduction"]["kernel"]).T
+        if s in scfg.out_indices:
+            _emit_module(sd, f"backbone.norm{s}", bp[f"out_norm{s}"])
+
+    # ---- bert (reuse the bert emitter pattern) ----
+    bq = p["bert"]
+    BP = "language_model.language_backbone.body.model."
+    sd[BP + "embeddings.word_embeddings.weight"] = \
+        np.asarray(bq["word_embeddings"]["embedding"])
+    sd[BP + "embeddings.position_embeddings.weight"] = \
+        np.asarray(bq["position_embeddings"]["embedding"])
+    sd[BP + "embeddings.token_type_embeddings.weight"] = \
+        np.asarray(bq["token_type_embeddings"]["embedding"])
+    _emit_module(sd, BP + "embeddings.LayerNorm", bq["embed_ln"])
+    _emit_module(sd, BP + "pooler.dense", bq["pooler"])
+    for i in range(cfg.bert.num_hidden_layers):
+        b = BP + f"encoder.layer.{i}."
+        lay = bq[f"layer_{i}"]
+        _emit_module(sd, b + "attention.self.query", lay["query"])
+        _emit_module(sd, b + "attention.self.key", lay["key"])
+        _emit_module(sd, b + "attention.self.value", lay["value"])
+        _emit_module(sd, b + "attention.output.dense", lay["attn_out"])
+        _emit_module(sd, b + "attention.output.LayerNorm", lay["attn_ln"])
+        _emit_module(sd, b + "intermediate.dense", lay["intermediate"])
+        _emit_module(sd, b + "output.dense", lay["output"])
+        _emit_module(sd, b + "output.LayerNorm", lay["out_ln"])
+
+    # ---- detector heads ----
+    _emit_module(sd, "text_feat_map", p["text_proj"])
+    sd["level_embed"] = np.asarray(p["level_embed"])
+    sd["query_embedding.weight"] = np.asarray(p["query_embedding"])
+    _emit_module(sd, "memory_trans_fc", p["enc_out_proj"])
+    _emit_module(sd, "memory_trans_norm", p["enc_out_ln"])
+    _emit_module(sd, "decoder.norm", p["decoder_norm"])
+    _emit_module(sd, "decoder.ref_point_head.layers.0", p["ref_point_fc1"])
+    _emit_module(sd, "decoder.ref_point_head.layers.1", p["ref_point_fc2"])
+    for i in range(cfg.num_levels - 1):
+        _emit_module(sd, f"neck.convs.{i}.conv", p[f"neck_in{i}"])
+        _emit_module(sd, f"neck.convs.{i}.gn", p[f"neck_gn{i}"])
+    _emit_module(sd, "neck.extra_convs.0.conv", p["neck_extra"])
+    _emit_module(sd, "neck.extra_convs.0.gn", p["neck_extra_gn"])
+
+    def emit_fused(pre, q, k, v, out):
+        sd[pre + ".in_proj_weight"] = np.concatenate(
+            [np.asarray(x["kernel"]).T for x in (q, k, v)], axis=0)
+        sd[pre + ".in_proj_bias"] = np.concatenate(
+            [np.asarray(x["bias"]) for x in (q, k, v)], axis=0)
+        _emit_module(sd, pre + ".out_proj", out)
+
+    def emit_msda(pre, m):
+        for n in ("sampling_offsets", "attention_weights", "value_proj",
+                  "output_proj"):
+            _emit_module(sd, f"{pre}.{n}", m[n])
+
+    def emit_ffn(pre, fc1, fc2):
+        _emit_module(sd, pre + ".layers.0.0", fc1)
+        _emit_module(sd, pre + ".layers.1", fc2)
+
+    for i in range(cfg.enc_layers):
+        e = p[f"enc_{i}"]
+        emit_msda(f"encoder.layers.{i}.self_attn", e["msda"])
+        _emit_module(sd, f"encoder.layers.{i}.norms.0", e["img_ln1"])
+        _emit_module(sd, f"encoder.layers.{i}.norms.1", e["img_ln2"])
+        emit_ffn(f"encoder.layers.{i}.ffn", e["img_fc1"], e["img_fc2"])
+        emit_fused(f"encoder.text_layers.{i}.self_attn.attn",
+                   e["txt_q"], e["txt_k"], e["txt_v"], e["txt_attn_out"])
+        _emit_module(sd, f"encoder.text_layers.{i}.norms.0", e["txt_ln1"])
+        _emit_module(sd, f"encoder.text_layers.{i}.norms.1", e["txt_ln2"])
+        emit_ffn(f"encoder.text_layers.{i}.ffn", e["txt_fc1"], e["txt_fc2"])
+        f = e["fusion"]
+        fus = f"encoder.fusion_layers.{i}."
+        _emit_module(sd, fus + "layer_norm_v", f["ln_img"])
+        _emit_module(sd, fus + "layer_norm_l", f["ln_txt"])
+        _emit_module(sd, fus + "attn.v_proj", f["img_q"])
+        _emit_module(sd, fus + "attn.l_proj", f["txt_k"])
+        _emit_module(sd, fus + "attn.values_v_proj", f["img_v"])
+        _emit_module(sd, fus + "attn.values_l_proj", f["txt_v"])
+        _emit_module(sd, fus + "attn.out_v_proj", f["img_out"])
+        _emit_module(sd, fus + "attn.out_l_proj", f["txt_out"])
+        sd[fus + "gamma_v"] = np.asarray(f["gamma_img"])
+        sd[fus + "gamma_l"] = np.asarray(f["gamma_txt"])
+
+    for i in range(cfg.dec_layers):
+        d = p[f"dec_{i}"]
+        emit_fused(f"decoder.layers.{i}.self_attn.attn",
+                   d["self_q"], d["self_k"], d["self_v"], d["self_out"])
+        emit_fused(f"decoder.layers.{i}.cross_attn_text.attn",
+                   d["txt_q"], d["txt_k"], d["txt_v"], d["txt_out"])
+        emit_msda(f"decoder.layers.{i}.cross_attn", d["msda"])
+        for j in range(4):
+            _emit_module(sd, f"decoder.layers.{i}.norms.{j}", d[f"ln{j+1}"])
+        emit_ffn(f"decoder.layers.{i}.ffn", d["fc1"], d["fc2"])
+        bh = p[f"dec_box_head_{i}"]
+        _emit_module(sd, f"bbox_head.reg_branches.{i}.0", bh["fc0"])
+        _emit_module(sd, f"bbox_head.reg_branches.{i}.2", bh["fc1"])
+        _emit_module(sd, f"bbox_head.reg_branches.{i}.4", bh["out"])
+    eb = p["enc_box_head"]
+    _emit_module(sd, f"bbox_head.reg_branches.{cfg.dec_layers}.0", eb["fc0"])
+    _emit_module(sd, f"bbox_head.reg_branches.{cfg.dec_layers}.2", eb["fc1"])
+    _emit_module(sd, f"bbox_head.reg_branches.{cfg.dec_layers}.4", eb["out"])
+
+    converted = convert_grounding_dino_state_dict(sd, cfg)
+    assert jax.tree_util.tree_structure(converted) == \
+        jax.tree_util.tree_structure(params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(converted),
+            jax.tree_util.tree_leaves_with_path(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=str(pa))
