@@ -168,3 +168,38 @@ def test_http_server_image_input_reaches_decoders(decoder_cfg):
     kinds = [e["kind"] for e in out["events"]]
     assert "box" in kinds
     server.shutdown()
+
+
+def test_continuous_batcher_matches_standalone():
+    import jax
+    import jax.numpy as jnp
+
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.decode import GenerateConfig, generate
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.serving.continuous import ContinuousBatcher
+
+    cfg = L.llama_tiny(vocab_size=300)
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    tok = TinyTokenizer()
+    cb = ContinuousBatcher(model, params, tok, num_slots=2, max_len=64,
+                           max_new_tokens=5, prefill_bucket=16)
+    prompts = [f"prompt number {i}" for i in range(3)]  # 3 reqs, 2 slots
+    futs = [cb.submit(p) for p in prompts]
+    outs = [f.result(timeout=600) for f in futs]
+    cb.close()
+
+    # standalone greedy reference
+    for prompt, got in zip(prompts, outs):
+        ids = tok(prompt, add_special_tokens=True).input_ids
+        emb = model.apply(params, jnp.asarray([ids], jnp.int32),
+                          method=model.embed)
+        ref = generate(model, params, emb, jnp.asarray([len(ids)], jnp.int32),
+                       GenerateConfig(max_new_tokens=5,
+                                      eos_ids=(tok.eos_token_id,),
+                                      pad_id=tok.pad_token_id))
+        ref_ids = [int(t) for t in np.asarray(ref["tokens"][0])
+                   if int(t) != tok.pad_token_id]
+        want = tok.decode(ref_ids, skip_special_tokens=True)
+        assert got == want, (prompt, got, want)
