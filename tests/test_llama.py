@@ -183,3 +183,30 @@ def test_gradcam_overlay():
     out = get_att_map(img, att)
     assert out.shape == (32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_remat_flag_matches_forward_and_grads():
+    import dataclasses
+
+    cfg = L.llama_tiny(vocab_size=64)
+    rcfg = dataclasses.replace(cfg, remat=True)
+    model = L.LlamaForCausalLM(cfg)
+    rmodel = L.LlamaForCausalLM(rcfg)
+    ids = jnp.array([[1, 5, 9, 3]])
+    params = model.init(jax.random.PRNGKey(0), ids)
+    a, _, _ = model.apply(params, ids)
+    b, _, _ = rmodel.apply(params, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+    def loss(m):
+        def f(p):
+            logits, _, _ = m.apply(p, ids)
+            return jnp.sum(logits.astype(jnp.float32) ** 2)
+        return jax.grad(f)(params)
+
+    ga = jax.tree_util.tree_leaves(loss(model))
+    gb = jax.tree_util.tree_leaves(loss(rmodel))
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
+                                   atol=1e-4)
