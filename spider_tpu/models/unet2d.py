@@ -112,10 +112,33 @@ class ResnetBlock2D(nn.Module):
 
 
 def _attention(q, k, v, heads: int):
-    """Plain softmax attention on [B, T, C] projections (XLA fuses this)."""
+    """Softmax attention on [B, T, C] projections.
+
+    On TPU with long sequences this routes through the Pallas flash kernel
+    with the head dim zero-padded to 128 (padding is exact: padded dims
+    contribute nothing to q.k dots and the padded outputs are dropped) —
+    avoiding the O(T*S) fp32 logits an einsum+softmax materializes, which is
+    what bounds full-size SDXL/story batches in HBM.
+    """
     B, T, C = q.shape
     S = k.shape[1]
     D = C // heads
+    use_flash = (jax.default_backend() == "tpu" and T >= 512 and D <= 128
+                 and T % 256 == 0 and S % 256 == 0)
+    if use_flash:
+        from spider_tpu.ops.attention import flash_attention
+
+        qh = q.reshape(B, T, heads, D)
+        kh = k.reshape(B, S, heads, D)
+        vh = v.reshape(B, S, heads, D)
+        if D < 128:
+            pad = [(0, 0)] * 3 + [(0, 128 - D)]
+            qh = jnp.pad(qh, pad)
+            kh = jnp.pad(kh, pad)
+            vh = jnp.pad(vh, pad)
+        out = flash_attention(qh, kh, vh, causal=False,
+                              sm_scale=1.0 / (D ** 0.5))
+        return out[..., :D].reshape(B, T, C)
     q = q.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
