@@ -102,3 +102,15 @@ def test_mesh_construction():
     assert full.shape["data"] == len(jax.devices())
     with pytest.raises(ValueError):
         dist.make_mesh(data=3, model=3)
+
+
+def test_config_merge_and_dump(tmp_path):
+    cfg = Config.fromdict({"model": {"a": 1, "b": {"c": 2}}, "run": {"x": 1}})
+    merged = cfg.merge({"model": {"b": {"c": 3, "d": 4}}})
+    assert merged.model.a == 1
+    assert merged.model.b.c == 3
+    assert merged.model.b.d == 4
+    out = tmp_path / "cfg.json"
+    merged.dump(str(out))
+    back = Config.fromfile(str(out))
+    assert back.model.b.d == 4

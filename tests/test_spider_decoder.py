@@ -142,3 +142,22 @@ def test_spider_decoder_missing_decoders_graceful():
     assert predictions["IMAGE"] == []
     assert predictions_text["IMAGE"] == ["apple"]
     assert answers == ["<IMAGE>apple</IMAGE>"]
+
+
+def test_imagestory_nested_grammar_not_confused():
+    s = ("intro <IMAGESTORY><GENERALPROMPT>'a cat'</GENERALPROMPT>, "
+         "<PROMPTARRAY>['x']</PROMPTARRAY>, <STYLENAME>'Comic book'"
+         "</STYLENAME></IMAGESTORY> outro <IMAGE>apple</IMAGE>")
+    mods = tags.get_llm_text_modality(s)
+    assert "IMAGESTORY" in mods and "IMAGE" in mods
+    # IMAGE span is the plain one, not something inside the story block
+    assert tags.get_llm_text_res(s, "IMAGE") == ["apple"]
+    inner = tags.get_llm_text_res(s, "IMAGESTORY")[0]
+    gp, pa, sn = tags.extract_story_elements(inner)
+    assert (gp, pa, sn) == ("a cat", ["x"], "Comic book")
+
+
+def test_multiline_and_unclosed_tags():
+    s = "a<VIDEO>first\nsecond line</VIDEO> and <AUDIO>unclosed"
+    assert tags.get_llm_text_res(s, "VIDEO") == ["first\nsecond line"]
+    assert tags.get_llm_text_modality(s) == ["VIDEO"]  # unclosed AUDIO ignored
