@@ -219,9 +219,14 @@ class StoryXLPipeline:
                                lat_shape, id_length, story_key)
         latents = run(self.unet_params, latents, ctx, pooled, un_ctx,
                       un_pooled, time_ids, story_indices)
-        images = self.vae.apply(self.vae_params, latents, method=self.vae.decode)
-        images = (images / 2 + 0.5).clip(0.0, 1.0)
-        return np.asarray(images)
+        # decode in small chunks: full-res VAE activations for a whole story
+        # batch exceed HBM at 768px+.
+        chunks = []
+        for i in range(0, latents.shape[0], 2):
+            img = self.vae.apply(self.vae_params, latents[i:i + 2],
+                                 method=self.vae.decode)
+            chunks.append(np.asarray((img / 2 + 0.5).clip(0.0, 1.0)))
+        return np.concatenate(chunks, axis=0)
 
 
 def init_story_generation(pipe: StoryXLPipeline, **_unused) -> StoryXLPipeline:
