@@ -136,6 +136,55 @@ def bench_e2e_any_to_many(prompt_len=128, new_tokens=150,
                 value=round(dt, 2), unit="s/request")
 
 
+def bench_story(n_steps: int = 6):
+    """Full-size StoryDiffusion: SDXL 768px, 4 coupled frames (id_length=4),
+    consistent self-attention, CFG — steps/s of the coupled denoise."""
+    import numpy as np
+
+    from spider_tpu.models.clip_text import (CLIPTextModel, clip_vit_l14,
+                                             open_clip_bigg)
+    from spider_tpu.models.pipelines.sdxl_story import (StoryXLPipeline,
+                                                        story_generation)
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.models.unet2d import UNet2DConditionModel, unet_sdxl
+    from spider_tpu.models.vae import AutoencoderKL, vae_sdxl
+
+    rng = jax.random.PRNGKey(0)
+    tok = TinyTokenizer()
+    t1 = dataclasses.replace(clip_vit_l14(), dtype=jnp.bfloat16)
+    t2 = dataclasses.replace(open_clip_bigg(), dtype=jnp.bfloat16)
+    enc1 = CLIPTextModel(t1)
+    p1 = enc1.init(rng, jnp.zeros((1, 77), jnp.int32))
+    enc2 = CLIPTextModel(t2)
+    p2 = enc2.init(rng, jnp.zeros((1, 77), jnp.int32))
+    ucfg = dataclasses.replace(unet_sdxl(), dtype=jnp.bfloat16)
+    unet = UNet2DConditionModel(ucfg)
+    up = unet.init(rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
+                   jnp.zeros((1,), jnp.int32),
+                   jnp.zeros((1, 77, 2048), jnp.bfloat16),
+                   dict(text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
+                        time_ids=jnp.zeros((1, 6), jnp.float32)))
+    vcfg = dataclasses.replace(vae_sdxl(), dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg)
+    vp = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+    pipe = StoryXLPipeline(tok, tok, enc1, p1, enc2, p2, unet, up, vae, vp,
+                           height=768, width=768)
+    prompts = ["in a forest", "by a river", "at night", "coming home"]
+    story_generation(pipe, general_prompt="a fox explorer",
+                     prompt_array=prompts, style_name="Comic book",
+                     id_length=4, num_inference_steps=n_steps)
+    t0 = time.perf_counter()
+    frames = story_generation(pipe, general_prompt="a fox explorer",
+                              prompt_array=prompts, style_name="Comic book",
+                              id_length=4, num_inference_steps=n_steps, seed=1)
+    dt = time.perf_counter() - t0
+    return dict(metric="StoryDiffusion SDXL 768px consistent steps/s "
+                       "(4 coupled frames, CFG, bf16)",
+                value=round(n_steps / dt, 2), unit="steps/s",
+                s_per_50step_story=round(dt / n_steps * 50, 1),
+                frames=len(frames))
+
+
 def main():
     import sys
 
@@ -154,6 +203,8 @@ def main():
         results.append(bench_batched_decode(8))
     if which in ("e2e",):
         results.append(bench_e2e_any_to_many())
+    if which in ("story",):
+        results.append(bench_story())
 
     with open("bench_details.json", "w") as f:
         json.dump(results, f, indent=2)
