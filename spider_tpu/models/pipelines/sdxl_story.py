@@ -127,27 +127,27 @@ class StoryXLPipeline:
             def run(unet_params, latents, ctx, pooled, uncond_ctx,
                     uncond_pooled, time_ids, story_indices):
                 B = latents.shape[0]
-                context = jnp.concatenate([uncond_ctx, ctx], axis=0)
-                text_embeds = jnp.concatenate([uncond_pooled, pooled], axis=0)
-                tids = jnp.concatenate([time_ids, time_ids], axis=0)
                 # id_length is static (cache key); indices are traced arrays.
-                # num_groups=2: the CFG concat batch is [uncond rows; cond
-                # rows] and each half keeps its own id bank.
+                # CFG is SPLIT into two unet calls (uncond, cond): halves the
+                # peak activation memory at 768px+ and each call is a single
+                # consistency group (num_groups=1).
                 story = {
-                    path: dict(id_length=id_length, indices=idx, num_groups=2)
+                    path: dict(id_length=id_length, indices=idx, num_groups=1)
                     for path, idx in story_indices.items()
                 } if story_indices else None
 
                 def step(latents, inp):
                     sigma, sigma_next, t = inp
-                    lat_in = jnp.concatenate([latents, latents], axis=0)
-                    lat_in = sched.scale_model_input(lat_in, sigma)
-                    tt = jnp.full((2 * B,), t, jnp.int32)
-                    eps = self.unet.apply(
-                        unet_params, lat_in, tt, context,
-                        added_cond=dict(text_embeds=text_embeds, time_ids=tids),
-                        story=story)
-                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    lat_in = sched.scale_model_input(latents, sigma)
+                    tt = jnp.full((B,), t, jnp.int32)
+                    eps_u = self.unet.apply(
+                        unet_params, lat_in, tt, uncond_ctx,
+                        added_cond=dict(text_embeds=uncond_pooled,
+                                        time_ids=time_ids), story=story)
+                    eps_c = self.unet.apply(
+                        unet_params, lat_in, tt, ctx,
+                        added_cond=dict(text_embeds=pooled,
+                                        time_ids=time_ids), story=story)
                     eps = eps_u + guidance_scale * (eps_c - eps_u)
                     return sched.step(eps, sigma, sigma_next, latents), None
 
