@@ -154,19 +154,32 @@ def bench_story(n_steps: int = 6):
     t1 = dataclasses.replace(clip_vit_l14(), dtype=jnp.bfloat16)
     t2 = dataclasses.replace(open_clip_bigg(), dtype=jnp.bfloat16)
     enc1 = CLIPTextModel(t1)
-    p1 = enc1.init(rng, jnp.zeros((1, 77), jnp.int32))
-    enc2 = CLIPTextModel(t2)
-    p2 = enc2.init(rng, jnp.zeros((1, 77), jnp.int32))
     ucfg = dataclasses.replace(unet_sdxl(), dtype=jnp.bfloat16)
     unet = UNet2DConditionModel(ucfg)
-    up = unet.init(rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
-                   jnp.zeros((1,), jnp.int32),
-                   jnp.zeros((1, 77, 2048), jnp.bfloat16),
-                   dict(text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
-                        time_ids=jnp.zeros((1, 6), jnp.float32)))
+    enc2 = CLIPTextModel(t2)
     vcfg = dataclasses.replace(vae_sdxl(), dtype=jnp.bfloat16)
     vae = AutoencoderKL(vcfg)
-    vp = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+    # Init the fp32 params on CPU; only the bf16 serving copies ever touch
+    # HBM (the 2.6B-param SDXL UNet in fp32 would occupy 10.4 GB of it).
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+
+    def to_dev_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                np.asarray(x, np.float32).astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else np.asarray(x), tpu), tree)
+
+    with jax.default_device(cpu):
+        p1 = enc1.init(rng, jnp.zeros((1, 77), jnp.int32))
+        p2 = enc2.init(rng, jnp.zeros((1, 77), jnp.int32))
+        up = unet.init(rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
+                       jnp.zeros((1,), jnp.int32),
+                       jnp.zeros((1, 77, 2048), jnp.bfloat16),
+                       dict(text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
+                            time_ids=jnp.zeros((1, 6), jnp.float32)))
+        vp = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+    p1, p2, up, vp = map(to_dev_bf16, (p1, p2, up, vp))
     pipe = StoryXLPipeline(tok, tok, enc1, p1, enc2, p2, unet, up, vae, vp,
                            height=768, width=768)
     prompts = ["in a forest", "by a river", "at night", "coming home"]

@@ -123,7 +123,7 @@ def _attention(q, k, v, heads: int):
     B, T, C = q.shape
     S = k.shape[1]
     D = C // heads
-    use_flash = (jax.default_backend() == "tpu" and T >= 512 and D <= 128
+    use_flash = (jax.default_backend() == "tpu" and T >= 4096 and D <= 128
                  and T % 256 == 0 and S % 256 == 0)
     if use_flash:
         from spider_tpu.ops.attention import flash_attention
