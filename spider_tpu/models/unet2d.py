@@ -124,12 +124,12 @@ def _attention(q, k, v, heads: int):
     S = k.shape[1]
     D = C // heads
     # flash when the einsum path's fp32 logits would be heavy: either long
-    # sequences, or large batch*heads (logits bytes > 256 MB cause spills —
+    # sequences, or large batch*heads (logits bytes > 512 MB cause spills —
     # measured: batch-4 SDXL 768px einsum runs 7x slower than batch-2).
     logits_bytes = 4 * B * heads * T * S
     use_flash = (jax.default_backend() == "tpu" and D <= 128
                  and T % 256 == 0 and S % 256 == 0
-                 and (T >= 4096 or logits_bytes > 256 * 1024 * 1024))
+                 and (T >= 4096 or logits_bytes > 512 * 1024 * 1024))
     if use_flash:
         from spider_tpu.ops.attention import flash_attention
 
