@@ -136,6 +136,108 @@ def bench_e2e_any_to_many(prompt_len=128, new_tokens=150,
                 value=round(dt, 2), unit="s/request")
 
 
+def bench_video(n_steps: int = 40):
+    """ZeroScope at the reference operating point: 576x320, 16 frames,
+    40 steps, CFG (custom_vd.py defaults / spider.py:462-463)."""
+    from spider_tpu.models.pipelines.vd import build_full_vd
+
+    pipe = build_full_vd()
+    kw = dict(height=320, width=576, num_frames=16)
+    pipe(prompt=["a red panda"], num_inference_steps=n_steps, **kw)  # warm
+    t0 = time.perf_counter()
+    frames = pipe(prompt=["a red panda"], num_inference_steps=n_steps,
+                  rng=jax.random.PRNGKey(1), **kw)
+    dt = time.perf_counter() - t0
+    return dict(metric="ZeroScope 576x320x16f video gen sec/request "
+                       f"({n_steps} steps, CFG, bf16)",
+                value=round(dt, 2), unit="s/request",
+                steps_per_s=round(n_steps / dt, 2), frames=int(frames.shape[1]))
+
+
+def bench_audio(n_steps: int = 40):
+    """AudioLDM-l at the reference operating point: 5.0 s audio, 40 steps,
+    CFG (custom_ad.py defaults / spider.py:500-501)."""
+    from spider_tpu.models.pipelines.ad import build_full_ad
+
+    pipe = build_full_ad()
+    pipe(prompt=["rain on a window"], num_inference_steps=n_steps,
+         audio_length_in_s=5.0)  # warm
+    t0 = time.perf_counter()
+    wave = pipe(prompt=["rain on a window"], num_inference_steps=n_steps,
+                audio_length_in_s=5.0, rng=jax.random.PRNGKey(1))
+    dt = time.perf_counter() - t0
+    return dict(metric=f"AudioLDM-l 5.0s audio gen sec/request "
+                       f"({n_steps} steps, CFG, bf16)",
+                value=round(dt, 2), unit="s/request",
+                wave_samples=int(wave.shape[-1]))
+
+
+def bench_detection():
+    """Grounding DINO swin-T forward + SAM ViT-H box-prompted mask — the
+    BASELINE det/seg operating points (spider_decoder.py:266, build_sam.py:15).
+    Reports per-stage latency of the box->mask chain on one chip."""
+    import numpy as np
+
+    from spider_tpu.models.bert import bert_base
+    from spider_tpu.models.dino import (GroundingDINO, GroundingDINOInference,
+                                        grounding_dino_tiny)
+    from spider_tpu.models.sam import Sam, postprocess_masks, sam_vit_h
+    from spider_tpu.models.tokenizer import TinyTokenizer
+
+    rng = jax.random.PRNGKey(0)
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+
+    def to_dev_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                np.asarray(x, np.float32).astype(jnp.bfloat16)
+                if np.asarray(x).dtype == np.float32 else np.asarray(x), dev),
+            tree)
+
+    results = {}
+    # Grounding DINO swin-T (full size, bf16 params)
+    dcfg = dataclasses.replace(grounding_dino_tiny(), dtype=jnp.bfloat16)
+    dino = GroundingDINO(dcfg)
+    im = jnp.zeros((1, 3, 512, 512), jnp.float32)
+    ids = jnp.zeros((1, dcfg.max_text_len), jnp.int32)
+    mask = jnp.ones((1, dcfg.max_text_len), jnp.int32)
+    with jax.default_device(cpu):
+        dparams = dino.init(rng, im, ids, mask)
+    dparams = to_dev_bf16(dparams)
+    infer = GroundingDINOInference(dino, dparams, TinyTokenizer())
+    image = np.zeros((480, 640, 3), np.uint8)
+    infer(image, "an apple")  # warm/compile
+    t0 = time.perf_counter()
+    det = infer(image, "an apple")
+    dt_det = time.perf_counter() - t0
+    results["detection"] = dt_det
+
+    # SAM ViT-H box-prompted segmentation (1024px encoder + mask decoder)
+    scfg = dataclasses.replace(sam_vit_h(), dtype=jnp.bfloat16)
+    sam = Sam(scfg)
+    img1024 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    boxes = jnp.asarray([[[100.0, 100.0, 400.0, 400.0]]])
+    with jax.default_device(cpu):
+        sparams = sam.init(rng, img1024, boxes=boxes)
+    sparams = to_dev_bf16(sparams)
+    predict = jax.jit(lambda p, im, b: sam.apply(p, im, b,
+                                                 method=sam.predict_box))
+    m = predict(sparams, img1024, boxes)
+    _ = np.asarray(m[0])
+    t0 = time.perf_counter()
+    m = predict(sparams, img1024, boxes)
+    _ = np.asarray(m[0])
+    dt_seg = time.perf_counter() - t0
+    results["segmentation"] = dt_seg
+
+    return dict(metric="Grounding DINO swin-T det + SAM ViT-H seg "
+                       "sec/image (box->mask chain, bf16)",
+                value=round(dt_det + dt_seg, 3), unit="s/image",
+                detection_s=round(dt_det, 3), segmentation_s=round(dt_seg, 3),
+                n_boxes=len(det["bboxes"]))
+
+
 def bench_story(n_steps: int = 6):
     """Full-size StoryDiffusion: SDXL 768px, 4 coupled frames (id_length=4),
     consistent self-attention, CFG — steps/s of the coupled denoise."""
@@ -218,9 +320,24 @@ def main():
         results.append(bench_e2e_any_to_many())
     if which in ("story",):
         results.append(bench_story())
+    if which in ("video",):
+        results.append(bench_video())
+    if which in ("audio",):
+        results.append(bench_audio())
+    if which in ("detection",):
+        results.append(bench_detection())
 
+    # merge-by-metric into bench_details.json (never truncate: rows from
+    # other modes are the perf record the docs cite)
+    try:
+        with open("bench_details.json") as f:
+            existing = {r["metric"]: r for r in json.load(f)}
+    except (OSError, ValueError):
+        existing = {}
+    for r in results:
+        existing[r["metric"]] = r
     with open("bench_details.json", "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(list(existing.values()), f, indent=2)
     for r in results:
         print(json.dumps(r))
 

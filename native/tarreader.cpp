@@ -63,13 +63,30 @@ struct TarHeader {
 };
 static_assert(sizeof(TarHeader) == 512, "tar header must be 512 bytes");
 
-uint64_t octal_field(const char* p, size_t n) {
-  uint64_t v = 0;
-  for (size_t i = 0; i < n && p[i]; ++i) {
-    if (p[i] < '0' || p[i] > '7') continue;
-    v = v * 8 + static_cast<uint64_t>(p[i] - '0');
+// Tar size field: octal, or GNU base-256 (leading byte 0x80) for members
+// >= 8 GiB. Returns false on malformed input — a wrong size desyncs the
+// whole shard stream into garbage samples, so parse failures must surface
+// as errors (tr_next -> -1), never be skipped over.
+bool parse_size(const char* p, size_t n, uint64_t* out) {
+  if (n && (static_cast<unsigned char>(p[0]) & 0x80)) {  // GNU base-256
+    uint64_t v = static_cast<unsigned char>(p[0]) & 0x7f;
+    for (size_t i = 1; i < n; ++i) {
+      if (v > (UINT64_MAX >> 8)) return false;  // overflow
+      v = (v << 8) | static_cast<unsigned char>(p[i]);
+    }
+    *out = v;
+    return true;
   }
-  return v;
+  uint64_t v = 0;
+  size_t i = 0;
+  while (i < n && p[i] == ' ') ++i;             // leading spaces (old tars)
+  size_t digits = 0;
+  for (; i < n && p[i] >= '0' && p[i] <= '7'; ++i, ++digits)
+    v = v * 8 + static_cast<uint64_t>(p[i] - '0');
+  while (i < n && (p[i] == ' ' || p[i] == '\0')) ++i;  // terminator
+  if (i != n || digits == 0) return false;      // junk byte => malformed
+  *out = v;
+  return true;
 }
 
 bool zero_block(const TarHeader& h) {
@@ -128,20 +145,69 @@ class TarReader {
     cv_pop_.notify_one();
   }
 
+  // Parse a PAX extended-header body ("len key=value\n" records) for a
+  // path override.
+  static bool PaxPath(const std::vector<uint8_t>& body, std::string* out) {
+    size_t i = 0;
+    while (i < body.size()) {
+      size_t sp = i;
+      while (sp < body.size() && body[sp] != ' ') ++sp;
+      if (sp >= body.size()) return false;
+      uint64_t len = 0;
+      for (size_t j = i; j < sp; ++j) {
+        if (body[j] < '0' || body[j] > '9') return false;
+        len = len * 10 + (body[j] - '0');
+      }
+      if (len == 0 || i + len > body.size()) return false;
+      std::string rec(reinterpret_cast<const char*>(&body[sp + 1]),
+                      i + len - sp - 2);  // strip trailing '\n'
+      if (rec.rfind("path=", 0) == 0) *out = rec.substr(5);
+      i += len;
+    }
+    return true;
+  }
+
   void WalkShard(const std::string& path) {
     FILE* f = std::fopen(path.c_str(), "rb");
     if (!f) return;
     std::unique_ptr<Sample> current;
+    std::string pending_name;  // from GNU 'L' or PAX 'x' records
     TarHeader hdr;
     while (std::fread(&hdr, 1, sizeof(hdr), f) == sizeof(hdr)) {
       if (zero_block(hdr)) break;
-      uint64_t size = octal_field(hdr.size, sizeof(hdr.size));
+      uint64_t size;
+      if (!parse_size(hdr.size, sizeof(hdr.size), &size)) {
+        error_.store(true);  // desync: surface instead of emitting garbage
+        break;
+      }
       uint64_t padded = (size + 511) & ~511ull;
+      if (hdr.typeflag == 'L' || hdr.typeflag == 'x') {
+        // GNU long-name / PAX extended header: the NEXT member's name.
+        std::vector<uint8_t> body(size);
+        if (std::fread(body.data(), 1, size, f) != size) {
+          error_.store(true);
+          break;
+        }
+        std::fseek(f, (long)(padded - size), SEEK_CUR);
+        if (hdr.typeflag == 'L') {
+          pending_name.assign(reinterpret_cast<char*>(body.data()),
+                              strnlen(reinterpret_cast<char*>(body.data()),
+                                      body.size()));
+        } else if (!PaxPath(body, &pending_name)) {
+          error_.store(true);
+          break;
+        }
+        continue;
+      }
       if (hdr.typeflag != '0' && hdr.typeflag != '\0') {
+        pending_name.clear();
         std::fseek(f, (long)padded, SEEK_CUR);
         continue;
       }
-      std::string name(hdr.name, strnlen(hdr.name, sizeof(hdr.name)));
+      std::string name = !pending_name.empty()
+          ? pending_name
+          : std::string(hdr.name, strnlen(hdr.name, sizeof(hdr.name)));
+      pending_name.clear();
       auto slash = name.rfind('/');
       std::string base = slash == std::string::npos ? name
                                                     : name.substr(slash + 1);
@@ -192,6 +258,12 @@ class TarReader {
   std::vector<std::string> shards_;
   int capacity_;
   bool loop_;
+
+ public:
+  bool has_error() const { return error_.load(); }
+
+ private:
+  std::atomic<bool> error_{false};
   std::vector<std::thread> workers_;
   std::deque<std::unique_ptr<Sample>> queue_;
   std::mutex mu_;
@@ -229,7 +301,7 @@ void* tr_open(const char** shards, int n_shards, int n_threads,
 int tr_next(void* handle, TrMember* out, int max_members) {
   auto* h = static_cast<Handle*>(handle);
   h->live = h->reader->Next();
-  if (!h->live) return 0;
+  if (!h->live) return h->reader->has_error() ? -1 : 0;
   int n = 0;
   for (auto& m : h->live->members) {
     if (n >= max_members) break;

@@ -80,7 +80,11 @@ class NativeTarSource:
         try:
             while True:
                 n = lib.tr_next(handle, members, self.MAX_MEMBERS)
-                if n <= 0:
+                if n < 0:
+                    raise RuntimeError(
+                        "native tar reader: shard parse error (malformed "
+                        f"size field or truncated member) in {self.shards}")
+                if n == 0:
                     break
                 sample: Dict = {}
                 for i in range(n):

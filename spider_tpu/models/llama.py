@@ -149,9 +149,18 @@ def llama_tiny(vocab_size: int = 512, lora_r: int = 0) -> LlamaConfig:
 class LoraDense(nn.Module):
     """Dense layer with optional additive LoRA branch: y = xW + (α/r)·xAB.
 
-    quantized=True stores the kernel as int8 + per-output-channel fp32 scale;
-    the int8->compute-dtype convert fuses into the matmul so HBM traffic is
-    halved vs bf16 (the decode bottleneck)."""
+    quantization='int8' stores the kernel as int8 + per-output-channel fp32
+    scale; the int8->compute-dtype convert fuses into the matmul so HBM
+    traffic is halved vs bf16 (the decode bottleneck).
+
+    quantization='int4' packs TWO 4-bit weights per int8 byte in a
+    split-half layout: byte (i, f) holds W[i, f] in its low nibble and
+    W[i + in/2, f] in its high nibble, so unpacking is two sign-extending
+    shifts and the matmul becomes two half-K dots — no lane interleave
+    (which TPU relayouts make expensive) is ever needed. Weight HBM
+    traffic per decoded token is 1/4 of bf16. NOTE: native jnp.int4 params
+    are deliberately avoided — S4 jit arguments crash the axon relay
+    backend (RecursionError in dispatch, verified 2026-08-16)."""
 
     features: int
     use_bias: bool = False
@@ -159,12 +168,12 @@ class LoraDense(nn.Module):
     lora_alpha: float = 21.0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    quantized: bool = False
+    quantization: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_features = x.shape[-1]
-        if self.quantized:
+        if self.quantization == "int8":
             kernel_q = self.param(
                 "kernel_q",
                 lambda key, shape: jax.random.randint(key, shape, -127, 128,
@@ -177,6 +186,22 @@ class LoraDense(nn.Module):
             # dequantized [in, out] temporary can exist.
             y = jnp.dot(x, kernel_q.astype(self.dtype)) \
                 * scale.astype(self.dtype)[None, :]
+        elif self.quantization == "int4":
+            assert in_features % 2 == 0, in_features
+            half = in_features // 2
+            packed = self.param(
+                "kernel_q",
+                lambda key, shape: jax.random.randint(key, shape, -128, 128,
+                                                      jnp.int8),
+                (half, self.features))
+            scale = self.param("kernel_scale", nn.initializers.constant(0.01),
+                               (self.features,), jnp.float32)
+            from spider_tpu.ops.quant import int4_matmul, int4_matmul_reference
+            if jax.default_backend() == "tpu":
+                y = int4_matmul(x, packed, scale, out_dtype=self.dtype)
+            else:
+                y = int4_matmul_reference(x, packed, scale,
+                                          out_dtype=self.dtype)
         else:
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(),
@@ -214,7 +239,7 @@ class LlamaAttention(nn.Module):
             return LoraDense(features, use_bias=use_bias, lora_r=r,
                              lora_alpha=lora.alpha,
                              dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                             quantized=cfg.quantization == "int8",
+                             quantization=cfg.quantization,
                              name=name)
 
         B, T, _ = x.shape
@@ -279,7 +304,7 @@ class LlamaMLP(nn.Module):
             r = lora.r if name in lora.targets else 0
             return LoraDense(features, lora_r=r, lora_alpha=lora.alpha,
                              dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                             quantized=cfg.quantization == "int8",
+                             quantization=cfg.quantization,
                              name=name)
 
         gate = proj("gate_proj", cfg.intermediate_size)(x)
@@ -401,7 +426,7 @@ class LlamaForCausalLM(nn.Module):
             # along with the projections when serving int8.
             self.lm_head = LoraDense(
                 cfg.vocab_size, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                quantized=cfg.quantization == "int8", name="lm_head")
+                quantization=cfg.quantization, name="lm_head")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(input_ids)

@@ -138,6 +138,60 @@ class AudioLDMPipeline:
         return np.asarray(wave)
 
 
+def build_full_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
+    """AudioLDM-l-sized pipeline (random init, bf16) at the reference
+    operating point: 740M UNet + CLAP text + mel VAE + HiFiGAN, 5.0 s audio
+    (custom_ad.py:421 / spider.py:500-501)."""
+    import dataclasses as dc
+
+    from spider_tpu.models.clip_text import ClapTextConfig
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.models.unet2d import unet_audioldm
+    from spider_tpu.models.vae import vae_audioldm
+    from spider_tpu.models.vocoder import HifiGan, hifigan_audioldm
+
+    rng = rng or jax.random.PRNGKey(0)
+    tokenizer = tokenizer or TinyTokenizer()
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+
+    def to_dev_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                np.asarray(x, np.float32).astype(jnp.bfloat16)
+                if np.asarray(x).dtype == np.float32 else np.asarray(x), dev),
+            tree)
+
+    tcfg = dc.replace(ClapTextConfig(), dtype=jnp.bfloat16)
+    text = ClapTextModel(tcfg)
+    # cross-attn context is the (dummy-broadcast) CLAP vector, so the
+    # cross_attention_dim must equal the CLAP projection dim (see
+    # _denoise_fn: conditioning rides the class-embedding path).
+    ucfg = dc.replace(unet_audioldm(), dtype=jnp.bfloat16,
+                      cross_attention_dim=tcfg.projection_dim,
+                      addition_embed_type="class_embed",
+                      projection_class_embeddings_input_dim=tcfg.projection_dim)
+    unet = UNet2DConditionModel(ucfg)
+    vcfg = dc.replace(vae_audioldm(), dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg)
+    hcfg = hifigan_audioldm()
+    voc = HifiGan(hcfg)
+    with jax.default_device(cpu):
+        tparams = text.init(rng, jnp.zeros((1, 8), jnp.int32))
+        uparams = unet.init(
+            rng, jnp.zeros((1, 8, 8, ucfg.in_channels), jnp.bfloat16),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 1, ucfg.cross_attention_dim), jnp.bfloat16),
+            dict(class_embeds=jnp.zeros((1, tcfg.projection_dim),
+                                        jnp.bfloat16)))
+        vparams = vae.init(rng, jnp.zeros((1, 16, 16, 1)))
+        hparams = voc.init(rng, jnp.zeros((1, 16, hcfg.model_in_dim)))
+    tparams, uparams, vparams, hparams = map(
+        to_dev_bf16, (tparams, uparams, vparams, hparams))
+    return AudioLDMPipeline(tokenizer, text, tparams, unet, uparams, vae,
+                            vparams, voc, hparams, mel_bins=64)
+
+
 def build_tiny_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
     from spider_tpu.models.clip_text import clap_tiny
     from spider_tpu.models.tokenizer import TinyTokenizer

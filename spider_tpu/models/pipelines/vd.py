@@ -114,6 +114,48 @@ class TextToVideoSDPipeline:
         return np.asarray(frames.reshape(B_, F, H, W, 3))
 
 
+def build_full_vd(tokenizer=None, rng=None) -> TextToVideoSDPipeline:
+    """ZeroScope-sized pipeline (random init, bf16) at the reference
+    operating point: 1.4B UNet3D + CLIP-H text + SD VAE, 576x320x16f
+    (custom_vd.py:525 / spider.py:462-463). Weight conversion drops real
+    checkpoints into the same trees (models/convert.py)."""
+    import dataclasses as dc
+
+    from spider_tpu.models.clip_text import CLIPTextModel, clip_vit_h14
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.models.unet3d import unet3d_zeroscope
+    from spider_tpu.models.vae import vae_sd
+
+    rng = rng or jax.random.PRNGKey(0)
+    tokenizer = tokenizer or TinyTokenizer()
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+
+    def to_dev_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                np.asarray(x, np.float32).astype(jnp.bfloat16)
+                if np.asarray(x).dtype == np.float32 else np.asarray(x), dev),
+            tree)
+
+    tcfg = dc.replace(clip_vit_h14(), dtype=jnp.bfloat16)
+    text = CLIPTextModel(tcfg)
+    ucfg = dc.replace(unet3d_zeroscope(), dtype=jnp.bfloat16)
+    unet = UNet3DConditionModel(ucfg)
+    vcfg = dc.replace(vae_sd(), dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg)
+    with jax.default_device(cpu):
+        tparams = text.init(rng, jnp.zeros((1, 77), jnp.int32))
+        uparams = unet.init(rng, jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, 77, ucfg.cross_attention_dim),
+                                      jnp.bfloat16))
+        vparams = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+    tparams, uparams, vparams = map(to_dev_bf16, (tparams, uparams, vparams))
+    return TextToVideoSDPipeline(tokenizer, text, tparams, unet, uparams,
+                                 vae, vparams)
+
+
 def build_tiny_vd(tokenizer=None, rng=None) -> TextToVideoSDPipeline:
     from spider_tpu.models.clip_text import CLIPTextModel, clip_tiny
     from spider_tpu.models.tokenizer import TinyTokenizer

@@ -561,6 +561,14 @@ class Spider:
         '<X>cap[X0..]</X>' spans, fuse projected hidden states 0.1/0.9 with
         the decoders' own text conditioning, dispatch
         (contract of spider.py:1465-1611)."""
+        # The tag-parse + decoder dispatch below reads sample 0's answer and
+        # hidden taps (the reference has the same single-sample shape); a
+        # silent batch would return only sample 0's media.
+        if len(samples["Question"]) != 1:
+            raise ValueError(
+                f"Spider.generate is single-sample (got batch "
+                f"{len(samples['Question'])}); loop over samples or use "
+                "serving/continuous.py for batched text decode")
         infer_samples = dict(samples)
         infer_samples["Answer"] = [""] * len(samples["Question"])
         batch = self.prepare_batch(infer_samples)

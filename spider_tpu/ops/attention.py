@@ -464,9 +464,22 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         sm_scale = 1.0 / (D ** 0.5)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    # Fit block sizes to the sequence lengths: the largest power-of-two
+    # block <= requested that divides T/S (SDXL's 768px self-attention is
+    # T=2304 = 9*256 — the 512 default would otherwise silently fall back
+    # to the O(T*S)-logits reference path, the exact spill the caller's
+    # flash heuristic tries to avoid).
+    def _fit(n, requested):
+        b = min(requested, n)
+        while b >= 8 and n % b:
+            b //= 2
+        return b if b >= 8 and n % b == 0 else None
+
+    bq, bk = _fit(T, block_q), _fit(S, block_k)
     # Tiny/ragged shapes: XLA path.
-    if not use_pallas or T % min(block_q, T) or S % min(block_k, S) or D % 128 or T < 8:
+    if not use_pallas or bq is None or bk is None or D % 128 or T < 8:
         return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale,
                              kv_len=kv_len, q_offset=q_offset)
     return _flash_attention(q, k, v, causal, sm_scale, kv_len, q_offset,
-                            block_q, block_k)
+                            bq, bk)

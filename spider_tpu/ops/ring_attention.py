@@ -19,19 +19,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from spider_tpu.ops.attention import DEFAULT_MASK_VALUE
 
 
-def _block_attn(q, k, v, sm_scale, mode, q_offset, k_offset):
+def _block_attn(q, k, v, sm_scale, mask):
     """One block: q [B,Tq,H,D] x k/v [B,Tk,Hkv,D] -> (out, m, l) with
-    un-normalized accumulators. mode: 0=full, 1=causal-diagonal, 2=skip."""
+    un-normalized accumulators. mask: [Tq, Tk] bool (True = attend) or
+    None for unmasked; may be traced (the causal ring step folds the
+    is-past-block condition into it so the logits are computed ONCE)."""
     B, Tq, Hq, D = q.shape
     Tk, Hkv = k.shape[1], k.shape[2]
     group = Hq // Hkv
     qf = q.astype(jnp.float32).reshape(B, Tq, Hkv, group, D)
     logits = jnp.einsum("bthgd,bshd->bhgts", qf, k.astype(jnp.float32))
     logits = logits * sm_scale
-    if mode == 1:
-        q_pos = jnp.arange(Tq)[:, None] + q_offset
-        k_pos = jnp.arange(Tk)[None, :] + k_offset
-        mask = q_pos >= k_pos
+    if mask is not None:
         logits = jnp.where(mask[None, None, None], logits, DEFAULT_MASK_VALUE)
     m = jnp.max(logits, axis=-1, keepdims=True)            # [B,h,g,T,1]
     p = jnp.exp(logits - m)
@@ -61,23 +60,19 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             k_blk, v_blk, acc, m_run, l_run = carry
             src = (my - i) % n                    # owner of the current block
             k_offset = src * T_local
-            # block mode: full if src < my (past), diagonal if ==, skip else
+            # block role: full if src < my (past), diagonal if ==, skip else.
+            # One logits computation per step: the is-past condition folds
+            # into the mask (past blocks pass everything) instead of a second
+            # unmasked attention + select.
             if causal:
-                out_b, m_b, l_b = _block_attn(q, k_blk, v_blk, sm_scale, 1,
-                                              q_offset, k_offset)
                 is_past = src < my
-                is_future = src > my
-                # diagonal masking already applied; for past blocks recompute
-                # unmasked via the mask-free path: cheaper to mask generously:
-                out_f, m_f, l_f = _block_attn(q, k_blk, v_blk, sm_scale, 0,
-                                              q_offset, k_offset)
-                out_b = jnp.where(is_past, out_f, out_b)
-                m_b = jnp.where(is_past, m_f, m_b)
-                l_b = jnp.where(is_past, l_f, l_b)
-                skip = is_future
+                q_pos = jnp.arange(q.shape[1])[:, None] + q_offset
+                k_pos = jnp.arange(k_blk.shape[1])[None, :] + k_offset
+                mask = is_past | (q_pos >= k_pos)
+                out_b, m_b, l_b = _block_attn(q, k_blk, v_blk, sm_scale, mask)
+                skip = src > my
             else:
-                out_b, m_b, l_b = _block_attn(q, k_blk, v_blk, sm_scale, 0,
-                                              q_offset, k_offset)
+                out_b, m_b, l_b = _block_attn(q, k_blk, v_blk, sm_scale, None)
                 skip = False
             m_b = jnp.where(skip, -jnp.inf, m_b)
             l_b = jnp.where(skip, 0.0, l_b)

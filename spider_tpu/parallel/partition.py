@@ -36,10 +36,24 @@ LLAMA_RULES: List[Tuple[str, P]] = [
     (r"mlp/w1$", P(None, "expert", "fsdp", "model")),
     (r"mlp/w2$", P(None, "expert", "model", "fsdp")),
     (r"mlp/wg$", P(None, "fsdp", None)),
-    # embeddings / head
+    # embeddings / head (kernel_q covers int8/int4 serving params: the
+    # 4096x128256 lm_head is the single largest matrix and must TP-shard)
     (r"embed_tokens/embedding$", P("model", "fsdp")),
-    (r"lm_head/kernel$", P("fsdp", "model")),
+    (r"lm_head/kernel(_q)?$", P("fsdp", "model")),
+    (r"lm_head/kernel_scale$", P("model")),
     # norms and everything else: replicated
+    (r".*", P()),
+]
+
+# Full-Spider training (LLM + input proj + aligners + SAM decoder — the
+# reference trains this whole bundle under ZeRO-2, runner_base.py:101-108).
+# The LLM subtree lives under 'llm/...' so the LLAMA_RULES regexes still
+# match; aligner/projection/SAM matrices get a generic last-dim fsdp shard
+# (ZeRO-style memory spreading; _validate_spec drops axes that don't divide).
+SPIDER_RULES: List[Tuple[str, P]] = LLAMA_RULES[:-1] + [
+    (r"(aligners|moe_aligner|llama_proj|sam)/.*(kernel|embedding)$",
+     P(None, "fsdp")),
+    (r"(aligners|moe_aligner)/.*(queries|query)", P()),
     (r".*", P()),
 ]
 

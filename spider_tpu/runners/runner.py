@@ -79,6 +79,7 @@ class RunnerBase:
             decay_rate=float(run.get("lr_decay_rate", 0.9)),
             steps_per_epoch=self.iters_per_epoch,
         )
+        self.schedule = schedule
         trainable_patterns = run.get("trainable_patterns")
         params = model.trainable_params()
         from spider_tpu.runners.train_step import build_optimizer
@@ -93,8 +94,30 @@ class RunnerBase:
             if trainable_patterns else None,
             params=params,
         )
-        self.params = params
-        self.opt_state = self.tx.init(params)
+
+        # Mesh-sharded training state (ZeRO/TP analogue of the reference's
+        # DeepSpeed engine wrap, runner_base.py:101-108): params + optimizer
+        # state shard over fsdp/model per partition.SPIDER_RULES; batches
+        # shard over (data, fsdp). cfg.run.mesh = {"data": 2, "fsdp": 2, ...}
+        # or default: all local devices on the data axis.
+        from spider_tpu.common import dist
+
+        mesh_cfg = dict(run.get("mesh") or {})
+        if not mesh_cfg:
+            mesh_cfg = {"data": len(jax.devices())}
+        self.mesh = dist.make_mesh(**mesh_cfg)
+        self._param_shardings = partition.tree_shardings(
+            params, self.mesh, partition.SPIDER_RULES)
+        self.params = jax.tree_util.tree_map(jax.device_put, params,
+                                             self._param_shardings)
+        from spider_tpu.runners.train_step import _opt_state_shardings
+
+        opt_state = jax.eval_shape(self.tx.init, self.params)
+        self._opt_shardings = _opt_state_shardings(
+            opt_state, self.params, self._param_shardings, self.mesh)
+        with self.mesh:
+            self.opt_state = jax.jit(
+                self.tx.init, out_shardings=self._opt_shardings)(self.params)
         self.global_step = 0
         self._step_cache: Dict[Any, Callable] = {}
         self._loaders: Optional[Dict[str, Any]] = None
@@ -115,7 +138,24 @@ class RunnerBase:
         return self._loaders
 
     # ---------------------------------------------------------- train step
-    def _jitted_step(self, task: str, shape_key):
+    def _batch_shardings(self, tree):
+        """Shard dim-0 (batch) over (data, fsdp) where it divides evenly;
+        replicate everything else (ragged aux shapes, scalars)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.mesh.shape["data"] * self.mesh.shape.get("fsdp", 1)
+
+        def leaf(x):
+            shape = np.shape(x)
+            if shape and shape[0] % dp == 0 and dp > 1:
+                return NamedSharding(self.mesh,
+                                     P(("data", "fsdp"),
+                                       *([None] * (len(shape) - 1))))
+            return NamedSharding(self.mesh, P())
+
+        return jax.tree_util.tree_map(leaf, tree)
+
+    def _jitted_step(self, task: str, shape_key, example_args):
         key = (task, shape_key)
         if key not in self._step_cache:
             spider = self.model
@@ -135,7 +175,24 @@ class RunnerBase:
                 new_params = optax.apply_updates(params, updates)
                 return new_params, new_opt, out
 
-            self._step_cache[key] = jax.jit(step)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data_shardings = tuple(self._batch_shardings(a)
+                                   for a in example_args)
+            self._step_cache[key] = jax.jit(
+                step,
+                in_shardings=(self._param_shardings, self._opt_shardings)
+                + data_shardings,
+                out_shardings=(self._param_shardings, self._opt_shardings,
+                               jax.tree_util.tree_map(lambda _: repl,
+                                                      jax.eval_shape(
+                                                          step,
+                                                          self.params,
+                                                          self.opt_state,
+                                                          *example_args)[2])),
+                donate_argnums=(0, 1),
+            )
         return self._step_cache[key]
 
     def train_step(self, samples: Dict[str, Any]) -> Dict[str, float]:
@@ -168,10 +225,11 @@ class RunnerBase:
                                   batch.modality_inputs.items())),
                      cond is not None and tuple(np.shape(cond)),
                      aux is not None and tuple(np.shape(aux["IMAGE_SAM"])))
-        step = self._jitted_step(task, shape_key)
-        self.params, self.opt_state, out = step(
-            self.params, self.opt_state, batch_dict, modality_embeds, cond,
-            aux)
+        args = (batch_dict, modality_embeds, cond, aux)
+        step = self._jitted_step(task, shape_key, args)
+        with self.mesh:
+            self.params, self.opt_state, out = step(
+                self.params, self.opt_state, *args)
         self.global_step += 1
         return {k: float(v) for k, v in out.items()}
 
@@ -193,12 +251,15 @@ class RunnerBase:
             samples = next(loader)
             metrics = self.train_step(samples)
             metric_logger.update(**metrics)
-            metric_logger.update(lr=0.0)
+            metric_logger.update(lr=float(self.schedule(self.global_step)))
             # per-iteration scalar stream (TensorBoard-writer analogue,
             # runner_base.py:243-247)
             if mf is not None:
                 mf.write(json.dumps({"step": self.global_step,
-                                     "epoch": epoch, **metrics}) + "\n")
+                                     "epoch": epoch,
+                                     "lr": float(self.schedule(
+                                         self.global_step)),
+                                     **metrics}) + "\n")
         if mf is not None:
             mf.close()
         metric_logger.synchronize_between_processes()

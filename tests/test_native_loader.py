@@ -57,3 +57,33 @@ def test_native_reader_loop_mode(lib, tmp_path):
     src = NativeTarSource(str(tmp_path / "l.tar"), loop=True)
     out = list(itertools.islice(iter(src), 7))
     assert len(out) == 7  # cycles past the 2 underlying samples
+
+
+def test_native_reader_gnu_long_names(lib, tmp_path):
+    """GNU 'L' / PAX 'x' long-name records must be honored — 100+-char
+    member names would otherwise truncate and mis-group samples."""
+    longkey = "d" * 120
+    for fmt, name in (("gnu.tar", tarfile.GNU_FORMAT),
+                      ("pax.tar", tarfile.PAX_FORMAT)):
+        with tarfile.open(tmp_path / fmt, "w", format=name) as tf:
+            for ext in ("txt", "json"):
+                payload = b"x" if ext == "txt" else b'{"a": 2}'
+                info = tarfile.TarInfo(f"{longkey}.{ext}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+        samples = list(NativeTarSource(str(tmp_path / fmt), loop=False))
+        assert len(samples) == 1, fmt
+        assert samples[0]["__key__"] == longkey, fmt
+        assert samples[0]["json"] == {"a": 2}
+
+
+def test_native_reader_corrupt_size_errors(lib, tmp_path):
+    """A malformed size field must surface as an error (rc -1), not emit
+    silently-desynced garbage samples."""
+    _make_shard(tmp_path / "c.tar", 2)
+    raw = bytearray((tmp_path / "c.tar").read_bytes())
+    raw[124:136] = b"zzzzzzzzzzz\x00"  # corrupt the first header's size
+    (tmp_path / "c.tar").write_bytes(bytes(raw))
+    src = NativeTarSource(str(tmp_path / "c.tar"), loop=False)
+    with pytest.raises(RuntimeError):
+        list(src)
