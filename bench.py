@@ -1,19 +1,42 @@
-"""Headline benchmark: 8B-architecture decode throughput per chip.
+"""Headline benchmark: ONE SpiderFree any-to-many request, end-to-end.
 
-Runs the DeepSeek-R1-Distill-Llama-8B architecture (llama3_8b preset) with
-int8 weight-only quantization (fits a single 16-GB v5e chip; decode is
-HBM-bandwidth-bound so int8 halves the bytes/token) through the real jitted
-prefill+scan-decode path and reports tokens/sec/chip.
+This is BASELINE.json's stated metric ("e2e any-to-many sec/request"; north
+star: "one SpiderFree request (text+image+audio+video out) served ... at
+>=2x A100 reference latency parity"). The request mirrors the reference
+demo flow (qwen2.5omni_spider_web.py predict -> SpiderDecoder dispatch):
 
-vs_baseline compares against the reference deployment's hardware envelope:
-an A100-80G serving the same 8B in fp16 is bounded by weights(16 GB) /
-HBM-BW(2.0 TB/s) = 125 tokens/s/chip speed-of-light; the reference stack
-(HF transformers generate, no batching) achieves well under that, so this is
-a conservative denominator.
+  stage 1  8B-architecture decode of the tagged answer (int8 weight-only,
+           128-token prompt -> 150 new tokens, jitted prefill+scan)
+  stage 2  SD-1.5   512px, 40 steps, CFG  (image)
+  stage 3  AudioLDM-l 5.0 s, 40 steps, CFG (audio)
+  stage 4  ZeroScope 576x320, 16 frames, 40 steps, CFG (video)
+
+All four run at the reference operating points (BASELINE.md) with REAL
+shapes/architectures (random init — weight values don't change the math
+executed per step). Stages are measured warm (compile excluded) and
+sequentially on this host's ONE chip, with each stage's params resident
+only for its stage: the deployment target (v5e-8, north star) keeps every
+decoder resident on its own chips, so per-stage residency — not 16-GB
+single-chip co-residency — is the serving configuration; the conditioning
+handoff between stages is a few KB.
+
+vs_baseline: reference stack latency for the same request on A100-80G,
+modeled per stage from its published/observable operating points and
+GENEROUS to the reference (warm resident fp16 pipelines; its actual code
+re-instantiates diffusion pipelines per request via .from_pretrained,
+spider/models/spider.py:432,448,456, which alone adds tens of seconds):
+  decode: 150 tok @ 50 tok/s  (HF transformers fp16 8B, bs=1)      = 3.0 s
+  image:  40 steps @ 25 it/s  (diffusers SD-1.5 512px fp16)        = 1.6 s
+  audio:  AudioLDM-l 5 s, 40 steps                                 = 2.5 s
+  video:  ZeroScope 576x320x16f, 40 steps (~4 it/s)                =10.0 s
+  total                                                            =17.1 s
+vs_baseline = 17.1 / measured_seconds  (>1 = we serve the request faster
+per chip than the A100 reference stack).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import gc
 import json
 import time
 
@@ -23,63 +46,114 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
+A100_REFERENCE_REQUEST_S = 17.1
 
-A100_8B_FP16_SOL_TOKENS_PER_S = 125.0
-
-MAX_NEW_TOKENS = 128
 PROMPT_LEN = 128
+NEW_TOKENS = 150
+STEPS = 40
 
 
-def main():
+def fence(x):
+    import numpy as np
+
+    return np.asarray(x)
+
+
+def stage_decode():
     import dataclasses
+
     from spider_tpu.models import llama as L
     from spider_tpu.models.decode import GenerateConfig, make_generate_fn
 
-    on_tpu = jax.default_backend() == "tpu"
-    cfg = L.llama3_8b()
-    cfg = dataclasses.replace(cfg, quantization="int8",
+    cfg = dataclasses.replace(L.llama3_8b(), quantization="int8",
                               param_dtype=jnp.bfloat16)
-    if not on_tpu:
+    if jax.default_backend() != "tpu":
         # CPU smoke: shrink so the bench script stays runnable anywhere.
         cfg = dataclasses.replace(cfg, hidden_size=256, intermediate_size=512,
                                   num_hidden_layers=2, num_attention_heads=4,
                                   num_key_value_heads=2, vocab_size=1024)
-
     model = L.LlamaForCausalLM(cfg)
     rng = jax.random.PRNGKey(0)
     ids = jnp.ones((1, PROMPT_LEN), jnp.int32)
     params = model.init(rng, ids[:, :8])
-
-    gen_cfg = GenerateConfig(max_new_tokens=MAX_NEW_TOKENS, temperature=0.0)
-    gen = make_generate_fn(model, gen_cfg)
-
+    gen = make_generate_fn(model, GenerateConfig(max_new_tokens=NEW_TOKENS,
+                                                 temperature=0.0))
     embeds = model.apply(params, ids, method=model.embed)
     plen = jnp.full((1,), PROMPT_LEN, jnp.int32)
-
-    import numpy as np
-
-    # Compile + warm up. NOTE: device->host transfer is the completion fence;
-    # block_until_ready alone under-reports on the axon relay backend.
     out = gen(params, embeds, plen, rng)
-    _ = np.asarray(out["tokens"])
-
-    iters = 3 if on_tpu else 1
+    fence(out["tokens"])  # compile+warm
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = gen(params, embeds, plen, jax.random.PRNGKey(i))
-        _ = np.asarray(out["tokens"])
-    dt = (time.perf_counter() - t0) / iters
+    out = gen(params, embeds, plen, jax.random.PRNGKey(1))
+    fence(out["tokens"])
+    return time.perf_counter() - t0
 
-    tokens_per_s = MAX_NEW_TOKENS / dt
-    result = {
-        "metric": "8B decode tokens/sec/chip (int8 weight-only, bs=1)"
-                  if on_tpu else
-                  "decode tokens/sec/chip (CPU smoke proxy, bs=1)",
-        "value": round(tokens_per_s, 2),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(tokens_per_s / A100_8B_FP16_SOL_TOKENS_PER_S, 3)
-                       if on_tpu else 0.0,
-    }
+
+def stage_image():
+    from spider_tpu.models.factory import from_pretrained
+
+    pipe = from_pretrained("sd15", None)
+    cap = ["A running horse on a beach"]
+    pipe(prompt=cap, num_inference_steps=STEPS, guidance_scale=7.5)
+    t0 = time.perf_counter()
+    img = pipe(prompt=cap, num_inference_steps=STEPS, guidance_scale=7.5,
+               rng=jax.random.PRNGKey(1))
+    fence(img)
+    return time.perf_counter() - t0
+
+
+def stage_audio():
+    from spider_tpu.models.factory import from_pretrained
+
+    pipe = from_pretrained("audioldm", None)
+    cap = ["galloping hooves on sand"]
+    pipe(prompt=cap, num_inference_steps=STEPS, audio_length_in_s=5.0)
+    t0 = time.perf_counter()
+    wave = pipe(prompt=cap, num_inference_steps=STEPS, audio_length_in_s=5.0,
+                rng=jax.random.PRNGKey(1))
+    fence(wave)
+    return time.perf_counter() - t0
+
+
+def stage_video():
+    from spider_tpu.models.factory import from_pretrained
+
+    pipe = from_pretrained("zeroscope", None)
+    cap = ["a horse running on a beach"]
+    kw = dict(height=320, width=576, num_frames=16)
+    pipe(prompt=cap, num_inference_steps=STEPS, **kw)
+    t0 = time.perf_counter()
+    frames = pipe(prompt=cap, num_inference_steps=STEPS,
+                  rng=jax.random.PRNGKey(1), **kw)
+    fence(frames)
+    return time.perf_counter() - t0
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    stages = {}
+    for name, fn in (("decode", stage_decode), ("image", stage_image),
+                     ("audio", stage_audio), ("video", stage_video)):
+        if not on_tpu and name != "decode":
+            continue  # CPU smoke: the full diffusion stages need the chip
+        stages[name] = fn()
+        gc.collect()  # drop the stage's params before the next stage loads
+
+    total = sum(stages.values())
+    if on_tpu:
+        result = {
+            "metric": "e2e any-to-many sec/request (8B int8 decode 150tok + "
+                      "SD-1.5 512px + AudioLDM-l 5s + ZeroScope 576x320x16f,"
+                      " all 40 steps CFG, 1 chip, per-stage resident)",
+            "value": round(total, 2),
+            "unit": "s/request",
+            "vs_baseline": round(A100_REFERENCE_REQUEST_S / total, 3),
+            "stages_s": {k: round(v, 2) for k, v in stages.items()},
+        }
+    else:
+        result = {
+            "metric": "e2e decode stage sec (CPU smoke proxy)",
+            "value": round(total, 2), "unit": "s", "vs_baseline": 0.0,
+        }
     print(json.dumps(result))
 
 

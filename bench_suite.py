@@ -216,7 +216,7 @@ def bench_detection():
     # SAM ViT-H box-prompted segmentation (1024px encoder + mask decoder)
     scfg = dataclasses.replace(sam_vit_h(), dtype=jnp.bfloat16)
     sam = Sam(scfg)
-    img1024 = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    img1024 = jnp.zeros((1, 3, 1024, 1024), jnp.float32)
     boxes = jnp.asarray([[[100.0, 100.0, 400.0, 400.0]]])
     with jax.default_device(cpu):
         sparams = sam.init(rng, img1024, boxes=boxes)

@@ -869,13 +869,18 @@ def _box_mlp(sd, pre):
 def convert_grounding_dino_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
     """mmdet GroundingDINO names -> spider_tpu GroundingDINO tree.
 
-    NOTE: validated structurally via the inverse-roundtrip test; key names
-    follow mmdet 3.x conventions and should be re-checked against the real
-    `grounding_dino_swin-t_...pth` when it is available (residual deltas:
-    our class logits keep a 1/sqrt(C) scale and have no ContrastiveEmbed
-    bias).
+    NOTE: validated structurally via the inverse-roundtrip test AND against
+    the real checkpoint's key list (tests/fixtures/mm_grounding_dino_keys);
+    ContrastiveEmbed (log_scale='auto', bias=True) maps each branch's
+    scalar bias: the final decoder branch -> cls_bias, the encoder
+    (two-stage proposal) branch -> enc_cls_bias.
     """
     p: Dict[str, Any] = {
+        "cls_bias": np.asarray(
+            sd[f"bbox_head.cls_branches.{cfg.dec_layers - 1}.bias"],
+            np.float32),
+        "enc_cls_bias": np.asarray(
+            sd[f"bbox_head.cls_branches.{cfg.dec_layers}.bias"], np.float32),
         "backbone": convert_swin_state_dict(sd, cfg.backbone,
                                             prefix="backbone.")["params"],
         "text_proj": _d(sd, "text_feat_map"),

@@ -306,7 +306,15 @@ class GroundingDINO(nn.Module):
         # language-guided query selection
         enc_out = nn.LayerNorm(dtype=cfg.dtype, name="enc_out_ln")(
             nn.Dense(C, dtype=cfg.dtype, name="enc_out_proj")(img))
-        sim = jnp.einsum("bsc,btc->bst", enc_out, txt) / math.sqrt(C)
+        # ContrastiveEmbed (deployed cfg: log_scale='auto', bias=True —
+        # grounding_dino_swin-t_pretrain_obj365.py:97,
+        # grounding_dino_head.py:24-90): sim/sqrt(C) + learnable scalar bias
+        # initialized to -log((1-0.01)/0.01). Each cls branch has its own.
+        bias_init = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
+        enc_cls_bias = self.param("enc_cls_bias", bias_init, (1,),
+                                  jnp.float32)
+        sim = jnp.einsum("bsc,btc->bst", enc_out, txt) / math.sqrt(C) \
+            + enc_cls_bias.astype(cfg.dtype)
         if txt_len is not None:
             t_mask = jnp.arange(txt.shape[1])[None, None, :] < txt_len[:, None, None]
             sim = jnp.where(t_mask, sim, -1e9)
@@ -351,7 +359,12 @@ class GroundingDINO(nn.Module):
             ref_boxes = jax.lax.stop_gradient(ref_boxes)
 
         queries = nn.LayerNorm(dtype=cfg.dtype, name="decoder_norm")(queries)
-        logits = jnp.einsum("bkc,btc->bkt", queries, txt) / math.sqrt(C)
+        cls_bias = self.param(
+            "cls_bias",
+            nn.initializers.constant(-math.log((1 - 0.01) / 0.01)), (1,),
+            jnp.float32)
+        logits = jnp.einsum("bkc,btc->bkt", queries, txt) / math.sqrt(C) \
+            + cls_bias.astype(cfg.dtype)
         if txt_len is not None:
             t_mask = jnp.arange(txt.shape[1])[None, None, :] < txt_len[:, None, None]
             logits = jnp.where(t_mask, logits, -1e9)

@@ -29,7 +29,10 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
                       with_sam: bool = False,
                       modality_tokens: Optional[Dict[str, int]] = None,
                       lora_r: int = 4,
-                      max_context_len: int = 128) -> Spider:
+                      max_context_len: int = 128,
+                      **spider_kwargs) -> Spider:
+    """Extra kwargs (only_llm_gen_loss, use_embed_align_loss,
+    word_align_loss, alignment_layer, ...) pass through to Spider."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = TinyTokenizer()
     modality_tokens = modality_tokens or {"IMAGE": 4, "VIDEO": 8, "AUDIO": 4,
@@ -110,7 +113,7 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
         llama_proj_params=llama_proj_params,
         aligners=aligners, moe_aligner=moe_aligner,
         diffusion_pipes=pipes, sam=sam, modality_tokens=modality_tokens,
-        max_context_len=max_context_len)
+        max_context_len=max_context_len, **spider_kwargs)
 
 
 def build_spider_from_config(model_config: Dict) -> "Spider":
@@ -124,7 +127,9 @@ def build_spider_from_config(model_config: Dict) -> "Spider":
     if preset == "tiny":
         keys = {k: cfg[k] for k in
                 ("use_moe_aligner", "with_pipes", "modality_tokens", "lora_r",
-                 "max_context_len") if k in cfg}
+                 "max_context_len", "only_llm_gen_loss",
+                 "use_embed_align_loss", "only_embed_align_loss",
+                 "word_align_loss", "alignment_layer") if k in cfg}
         return build_tiny_spider(**keys)
     raise NotImplementedError(
         f"preset {preset!r}: full-size assembly requires converted "
@@ -144,3 +149,253 @@ def _init_moe_all(model: TextFcLayerMoE, rng, hidden_size, align_specs):
         else:
             merged["params"].update(flax.core.unfreeze(p)["params"])
     return flax.core.freeze(merged) if merged is not None else None
+
+
+# ---------------------------------------------------------------------------
+# Real-weight assembly: from_pretrained(kind, path) feeds models/convert.py
+# output into resident pipelines — the counterpart of the reference's
+# `.from_pretrained(...)` model zoo loads (spider/models/base_model.py:207-233,
+# spider_decoder.py:20-27). path=None builds the same architecture at full
+# size with random init (shape-true; used by benches and offline smoke).
+# ---------------------------------------------------------------------------
+
+def _cast_device(tree, dtype=jnp.bfloat16):
+    """fp32 leaves -> dtype, placed on the default device."""
+    dev = jax.devices()[0]
+
+    def leaf(x):
+        a = np.asarray(x)
+        if a.dtype == np.float32:
+            a = a.astype(dtype)
+        return jax.device_put(a, dev)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def _hf_tokenizer(path: Optional[str], subfolder: str = "tokenizer"):
+    if path is not None:
+        import os
+
+        cand = os.path.join(path, subfolder)
+        target = cand if os.path.isdir(cand) else path
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(target)
+        except Exception:
+            pass
+    return TinyTokenizer()
+
+
+def _sub(path: Optional[str], name: str) -> Optional[str]:
+    if path is None:
+        return None
+    import os
+
+    p = os.path.join(path, name)
+    return p if os.path.exists(p) else path
+
+
+def from_pretrained(kind: str, path: Optional[str] = None,
+                    dtype=jnp.bfloat16, rng: Optional[jax.Array] = None):
+    """Assemble a resident pipeline/model, loading + converting real weights
+    when `path` is given (HF layout dirs or single .pth/.safetensors).
+
+    kinds: 'sd15', 'zeroscope', 'audioldm', 'sdxl_story', 'sam',
+    'grounding_dino', 'llama', 'imagebind'.
+    """
+    import dataclasses as dc
+
+    from spider_tpu.models import convert as C
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    cpu = jax.devices("cpu")[0]
+
+    if kind == "llama":
+        assert path, "llama requires a checkpoint dir (config.json + weights)"
+        cfg, params = C.convert_llama_checkpoint(path, quantize="int8")
+        model = L.LlamaForCausalLM(cfg)
+        return model, _cast_device(params, dtype), _hf_tokenizer(path, "")
+
+    if kind == "sam":
+        from spider_tpu.models.sam import Sam, sam_vit_h
+
+        cfg = dc.replace(sam_vit_h(), dtype=dtype)
+        model = Sam(cfg)
+        if path:
+            params = C.convert_sam_state_dict(C.load_torch_state_dict(path),
+                                              cfg)
+        else:
+            with jax.default_device(cpu):
+                params = model.init(rng, jnp.zeros((1, 3, 1024, 1024)),
+                                    boxes=jnp.zeros((1, 1, 4)))
+        return model, _cast_device(params, dtype)
+
+    if kind == "grounding_dino":
+        from spider_tpu.models.dino import (GroundingDINO,
+                                            GroundingDINOInference,
+                                            grounding_dino_tiny)
+
+        cfg = dc.replace(grounding_dino_tiny(), dtype=dtype)
+        model = GroundingDINO(cfg)
+        if path:
+            params = C.convert_grounding_dino_state_dict(
+                C.load_torch_state_dict(path), cfg)
+        else:
+            with jax.default_device(cpu):
+                params = model.init(
+                    rng, jnp.zeros((1, 3, 512, 512)),
+                    jnp.zeros((1, cfg.max_text_len), jnp.int32),
+                    jnp.ones((1, cfg.max_text_len), jnp.int32))
+        tok = _hf_tokenizer(path, "") if path else TinyTokenizer()
+        return GroundingDINOInference(model, _cast_device(params, dtype), tok)
+
+    if kind == "imagebind":
+        from spider_tpu.models.imagebind import ImageBindEncoder, imagebind_huge
+
+        cfg = dc.replace(imagebind_huge(), dtype=dtype)
+        model = ImageBindEncoder(cfg)
+        if path:
+            params = C.convert_imagebind_state_dict(
+                C.load_torch_state_dict(path), cfg)
+        else:
+            with jax.default_device(cpu):
+                params = model.init(rng, {"vision": jnp.zeros(
+                    (1, 3, 2, 224, 224))})
+        return model, _cast_device(params, dtype)
+
+    if kind == "sd15":
+        from spider_tpu.models.clip_text import CLIPTextModel, clip_vit_l14
+        from spider_tpu.models.pipelines.sd import StableDiffusionPipeline
+        from spider_tpu.models.unet2d import UNet2DConditionModel, unet_sd15
+        from spider_tpu.models.vae import AutoencoderKL, vae_sd
+
+        tcfg = dc.replace(clip_vit_l14(), dtype=dtype)
+        text = CLIPTextModel(tcfg)
+        ucfg = dc.replace(unet_sd15(), dtype=dtype)
+        unet = UNet2DConditionModel(ucfg)
+        vcfg = dc.replace(vae_sd(), dtype=dtype)
+        vae = AutoencoderKL(vcfg)
+        if path:
+            tp = C.convert_clip_text_state_dict(
+                C.load_torch_state_dict(_sub(path, "text_encoder")), tcfg)
+            up = C.convert_unet2d_state_dict(
+                C.load_torch_state_dict(_sub(path, "unet")), ucfg)
+            vp = C.convert_vae_state_dict(
+                C.load_torch_state_dict(_sub(path, "vae")), vcfg)
+        else:
+            with jax.default_device(cpu):
+                tp = text.init(rng, jnp.zeros((1, 77), jnp.int32))
+                up = unet.init(rng, jnp.zeros((1, 8, 8, 4), dtype),
+                               jnp.zeros((1,), jnp.int32),
+                               jnp.zeros((1, 77, 768), dtype))
+                vp = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+        return StableDiffusionPipeline(
+            _hf_tokenizer(path), text, _cast_device(tp, dtype),
+            unet, _cast_device(up, dtype), vae, _cast_device(vp, dtype),
+            height=512, width=512)
+
+    if kind == "zeroscope":
+        from spider_tpu.models.clip_text import CLIPTextModel, clip_vit_h14
+        from spider_tpu.models.pipelines.vd import (TextToVideoSDPipeline,
+                                                    build_full_vd)
+        from spider_tpu.models.unet3d import (UNet3DConditionModel,
+                                              unet3d_zeroscope)
+        from spider_tpu.models.vae import AutoencoderKL, vae_sd
+
+        if path is None:
+            return build_full_vd(rng=rng)
+        tcfg = dc.replace(clip_vit_h14(), dtype=dtype)
+        text = CLIPTextModel(tcfg)
+        ucfg = dc.replace(unet3d_zeroscope(), dtype=dtype)
+        unet = UNet3DConditionModel(ucfg)
+        vcfg = dc.replace(vae_sd(), dtype=dtype)
+        vae = AutoencoderKL(vcfg)
+        tp = C.convert_clip_text_state_dict(
+            C.load_torch_state_dict(_sub(path, "text_encoder")), tcfg)
+        up = C.convert_unet3d_state_dict(
+            C.load_torch_state_dict(_sub(path, "unet")), ucfg)
+        vp = C.convert_vae_state_dict(
+            C.load_torch_state_dict(_sub(path, "vae")), vcfg)
+        return TextToVideoSDPipeline(
+            _hf_tokenizer(path), text, _cast_device(tp, dtype),
+            unet, _cast_device(up, dtype), vae, _cast_device(vp, dtype))
+
+    if kind == "audioldm":
+        from spider_tpu.models.clip_text import ClapTextConfig, ClapTextModel
+        from spider_tpu.models.pipelines.ad import (AudioLDMPipeline,
+                                                    build_full_ad)
+        from spider_tpu.models.unet2d import (UNet2DConditionModel,
+                                              unet_audioldm)
+        from spider_tpu.models.vae import AutoencoderKL, vae_audioldm
+        from spider_tpu.models.vocoder import HifiGan, hifigan_audioldm
+
+        if path is None:
+            return build_full_ad(rng=rng)
+        tcfg = dc.replace(ClapTextConfig(), dtype=dtype)
+        text = ClapTextModel(tcfg)
+        ucfg = dc.replace(unet_audioldm(), dtype=dtype,
+                          cross_attention_dim=tcfg.projection_dim,
+                          addition_embed_type="class_embed",
+                          projection_class_embeddings_input_dim=tcfg
+                          .projection_dim)
+        unet = UNet2DConditionModel(ucfg)
+        vcfg = dc.replace(vae_audioldm(), dtype=dtype)
+        vae = AutoencoderKL(vcfg)
+        hcfg = hifigan_audioldm()
+        voc = HifiGan(hcfg)
+        tp = C.convert_clap_text_state_dict(
+            C.load_torch_state_dict(_sub(path, "text_encoder")), tcfg)
+        up = C.convert_unet2d_state_dict(
+            C.load_torch_state_dict(_sub(path, "unet")), ucfg)
+        vp = C.convert_vae_state_dict(
+            C.load_torch_state_dict(_sub(path, "vae")), vcfg)
+        hp = C.convert_hifigan_state_dict(
+            C.load_torch_state_dict(_sub(path, "vocoder")), hcfg)
+        return AudioLDMPipeline(
+            _hf_tokenizer(path), text, _cast_device(tp, dtype),
+            unet, _cast_device(up, dtype), vae, _cast_device(vp, dtype),
+            voc, _cast_device(hp, dtype), mel_bins=64)
+
+    if kind == "sdxl_story":
+        from spider_tpu.models.clip_text import (CLIPTextModel, clip_vit_l14,
+                                                 open_clip_bigg)
+        from spider_tpu.models.pipelines.sdxl_story import StoryXLPipeline
+        from spider_tpu.models.unet2d import UNet2DConditionModel, unet_sdxl
+        from spider_tpu.models.vae import AutoencoderKL, vae_sdxl
+
+        t1cfg = dc.replace(clip_vit_l14(), dtype=dtype)
+        t2cfg = dc.replace(open_clip_bigg(), dtype=dtype)
+        enc1, enc2 = CLIPTextModel(t1cfg), CLIPTextModel(t2cfg)
+        ucfg = dc.replace(unet_sdxl(), dtype=dtype)
+        unet = UNet2DConditionModel(ucfg)
+        vcfg = dc.replace(vae_sdxl(), dtype=dtype)
+        vae = AutoencoderKL(vcfg)
+        if path:
+            p1 = C.convert_clip_text_state_dict(
+                C.load_torch_state_dict(_sub(path, "text_encoder")), t1cfg)
+            p2 = C.convert_clip_text_state_dict(
+                C.load_torch_state_dict(_sub(path, "text_encoder_2")), t2cfg)
+            up = C.convert_unet2d_state_dict(
+                C.load_torch_state_dict(_sub(path, "unet")), ucfg)
+            vp = C.convert_vae_state_dict(
+                C.load_torch_state_dict(_sub(path, "vae")), vcfg)
+        else:
+            with jax.default_device(cpu):
+                p1 = enc1.init(rng, jnp.zeros((1, 77), jnp.int32))
+                p2 = enc2.init(rng, jnp.zeros((1, 77), jnp.int32))
+                up = unet.init(
+                    rng, jnp.zeros((1, 8, 8, 4), dtype),
+                    jnp.zeros((1,), jnp.int32),
+                    jnp.zeros((1, 77, 2048), dtype),
+                    dict(text_embeds=jnp.zeros((1, 1280), dtype),
+                         time_ids=jnp.zeros((1, 6), jnp.float32)))
+                vp = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+        tok = _hf_tokenizer(path)
+        tok2 = _hf_tokenizer(path, "tokenizer_2") if path else tok
+        return StoryXLPipeline(
+            tok, tok2, enc1, _cast_device(p1, dtype),
+            enc2, _cast_device(p2, dtype), unet, _cast_device(up, dtype),
+            vae, _cast_device(vp, dtype), height=768, width=768)
+
+    raise ValueError(f"unknown from_pretrained kind: {kind}")

@@ -228,7 +228,8 @@ class LlamaAttention(nn.Module):
     config: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_write_index, kv_cache=None, kv_len=None):
+    def __call__(self, x, positions, kv_write_index, kv_cache=None, kv_len=None,
+                 page_table=None):
         cfg = self.config
         D = cfg.head_dim_
         Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -253,6 +254,31 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, positions, inv_freq)
 
         new_cache = None
+        if kv_cache is not None and page_table is not None:
+            # Block-paged KV cache (serving): per-layer pools
+            # [N_blocks, page, Hkv, D]; page_table [B, max_pages] maps each
+            # slot's logical pages to pool blocks so heterogeneous lengths
+            # share one pool instead of each pinning max_len
+            # (cf. the reference's DeepSpeed inference cache — contiguous
+            # per sequence; paging is the TPU-serving upgrade).
+            assert T == 1, "paged path is single-token decode"
+            pool_k, pool_v = kv_cache
+            page = pool_k.shape[1]
+            pages = jnp.take_along_axis(
+                page_table, (kv_write_index // page)[:, None], axis=1)[:, 0]
+            offs = kv_write_index % page
+            pool_k = pool_k.at[pages, offs].set(k[:, 0].astype(pool_k.dtype))
+            pool_v = pool_v.at[pages, offs].set(v[:, 0].astype(pool_v.dtype))
+            new_cache = (pool_k, pool_v)
+            gk = pool_k[page_table]   # [B, max_pages, page, Hkv, D]
+            gv = pool_v[page_table]
+            Bp, MP, _, _, _ = gk.shape
+            gk = gk.reshape(Bp, MP * page, Hkv, D)
+            gv = gv.reshape(Bp, MP * page, Hkv, D)
+            out = mha_reference(q, gk.astype(q.dtype), gv.astype(q.dtype),
+                                causal=False, kv_len=kv_len)
+            out = out.reshape(B, T, Hq * D)
+            return proj("o_proj", cfg.hidden_size)(out), new_cache
         if kv_cache is not None:
             ck, cv = kv_cache  # [B, S_max, Hkv, D]
             if jnp.ndim(kv_write_index) == 0:
@@ -348,13 +374,14 @@ class LlamaBlock(nn.Module):
     config: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_write_index, kv_cache=None, kv_len=None):
+    def __call__(self, x, positions, kv_write_index, kv_cache=None, kv_len=None,
+                 page_table=None):
         cfg = self.config
         w1 = self.param("input_layernorm", nn.initializers.ones,
                         (cfg.hidden_size,), cfg.param_dtype)
         attn_out, new_cache = LlamaAttention(cfg, name="self_attn")(
             rms_norm(x, w1, cfg.rms_norm_eps), positions, kv_write_index,
-            kv_cache, kv_len)
+            kv_cache, kv_len, page_table)
         x = x + attn_out
         w2 = self.param("post_attention_layernorm", nn.initializers.ones,
                         (cfg.hidden_size,), cfg.param_dtype)
@@ -370,23 +397,26 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_write_index=0,
-                 kv_cache=None, kv_len=None, output_hidden_states=False):
+                 kv_cache=None, kv_len=None, output_hidden_states=False,
+                 page_table=None):
         cfg = self.config
 
         block_cls = LlamaBlock
         if cfg.remat:
             block_cls = nn.remat(LlamaBlock, static_argnums=())
 
-        def body(block, x, positions, kv_write_index, layer_cache, kv_len):
+        def body(block, x, positions, kv_write_index, layer_cache, kv_len,
+                 page_table):
             out, new_cache = block(x, positions, kv_write_index,
-                                   layer_cache, kv_len)
+                                   layer_cache, kv_len, page_table)
             return out, (out, new_cache)
 
         scan = nn.scan(
             body,
             variable_axes={"params": 0, "losses": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, 0, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, 0, nn.broadcast,
+                     nn.broadcast),
             out_axes=0,
             length=cfg.num_hidden_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
@@ -394,7 +424,7 @@ class LlamaModel(nn.Module):
         x = inputs_embeds.astype(cfg.dtype)
         x, (layer_outputs, new_cache) = scan(
             block_cls(cfg, name="layers"), x, positions, kv_write_index,
-            kv_cache, kv_len)
+            kv_cache, kv_len, page_table)
 
         norm_w = self.param("norm", nn.initializers.ones, (cfg.hidden_size,),
                             cfg.param_dtype)
@@ -438,11 +468,14 @@ class LlamaForCausalLM(nn.Module):
 
     def __call__(self, input_ids=None, inputs_embeds=None, positions=None,
                  kv_write_index=0, kv_cache=None, kv_len=None,
-                 output_hidden_states=False):
+                 output_hidden_states=False, page_table=None):
         """Returns (logits, hidden_states | None, new_kv_cache | None).
 
         hidden_states: [L+1, B, T, H] stacked (embeds, layers 1..N-1, final
         norm) matching HF's output_hidden_states tuple indexing.
+
+        page_table [B, max_pages]: block-paged decode — kv_cache becomes
+        (pool_k, pool_v) [L, N_blocks, page, Hkv, D] (see init_paged_kv_cache).
         """
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -451,7 +484,7 @@ class LlamaForCausalLM(nn.Module):
             positions = jnp.arange(T, dtype=jnp.int32)[None, :] + kv_write_index
         final, hidden_states, new_cache = self.model(
             inputs_embeds, positions, kv_write_index, kv_cache, kv_len,
-            output_hidden_states)
+            output_hidden_states, page_table)
         logits = self.logits(final)
         return logits, hidden_states, new_cache
 
@@ -462,6 +495,17 @@ def init_kv_cache(cfg: LlamaConfig, batch_size: int, max_len: int,
     (k, v) each [L, B, max_len, Hkv, D]."""
     dtype = dtype or cfg.dtype
     shape = (cfg.num_hidden_layers, batch_size, max_len,
+             cfg.num_key_value_heads, cfg.head_dim_)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def init_paged_kv_cache(cfg: LlamaConfig, num_blocks: int, page: int = 128,
+                        dtype=None):
+    """Block-paged KV pool: (k, v) each [L, num_blocks, page, Hkv, D].
+    Slots map logical pages to pool blocks through a host-managed page
+    table (serving/continuous.py PagedContinuousBatcher)."""
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_hidden_layers, num_blocks, page,
              cfg.num_key_value_heads, cfg.head_dim_)
     return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 

@@ -126,9 +126,15 @@ def _attention(q, k, v, heads: int):
     # flash when the einsum path's fp32 logits would be heavy: either long
     # sequences, or large batch*heads (logits bytes > 512 MB cause spills —
     # measured: batch-4 SDXL 768px einsum runs 7x slower than batch-2).
+    # Non-multiple-of-256 lengths (ZeroScope's 40x72=2880 spatial tokens,
+    # SDXL's 2304) are PADDED up: padded keys are masked via kv_len inside
+    # the kernel, padded query rows are sliced off — exact, and far cheaper
+    # than the multi-GB fp32 logits the einsum would spill.
     logits_bytes = 4 * B * heads * T * S
-    use_flash = (jax.default_backend() == "tpu" and D <= 128
-                 and T % 256 == 0 and S % 256 == 0
+    # D < 64 pads >2x into the kernel's 128-lane head dim and the padded
+    # FLOPs lose to the einsum (measured: ZeroScope's D=40 2880-token level
+    # runs 17.1s/request via padded flash vs 14.3s via einsum).
+    use_flash = (jax.default_backend() == "tpu" and 64 <= D <= 128
                  and (T >= 4096 or logits_bytes > 512 * 1024 * 1024))
     if use_flash:
         from spider_tpu.ops.attention import flash_attention
@@ -141,9 +147,18 @@ def _attention(q, k, v, heads: int):
             qh = jnp.pad(qh, pad)
             kh = jnp.pad(kh, pad)
             vh = jnp.pad(vh, pad)
-        out = flash_attention(qh, kh, vh, causal=False,
+        Tp = -(-T // 256) * 256
+        Sp = -(-S // 256) * 256
+        kv_len = None
+        if Tp != T:
+            qh = jnp.pad(qh, [(0, 0), (0, Tp - T), (0, 0), (0, 0)])
+        if Sp != S:
+            kh = jnp.pad(kh, [(0, 0), (0, Sp - S), (0, 0), (0, 0)])
+            vh = jnp.pad(vh, [(0, 0), (0, Sp - S), (0, 0), (0, 0)])
+            kv_len = jnp.full((B,), S, jnp.int32)
+        out = flash_attention(qh, kh, vh, causal=False, kv_len=kv_len,
                               sm_scale=1.0 / (D ** 0.5))
-        return out[..., :D].reshape(B, T, C)
+        return out[:, :T, :, :D].reshape(B, T, C)
     q = q.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, heads, D).transpose(0, 2, 1, 3)

@@ -110,7 +110,6 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     bn = min(block_n, N)  # N tail handled by grid padding
     if K2 % block_k2:
         # ragged K: fall back to the XLA formulation (correct, slower)
-        half = K2
         w = unpack_int4(packed, x.dtype)
         y = jnp.dot(x2, w) * scale.astype(x.dtype)[None, :]
         return y.reshape(*lead, N).astype(out_dtype)

@@ -45,7 +45,7 @@ class ContinuousBatcher:
         cfg = model.config
 
         # persistent device state
-        self.cache = init_kv_cache(cfg, num_slots, max_len)
+        self.cache = self._make_cache(cfg, num_slots, max_len)
         self.kv_len = jnp.zeros((num_slots,), jnp.int32)
         self.last_tok = jnp.zeros((num_slots,), jnp.int32)
         self.active = np.zeros((num_slots,), bool)       # host-side
@@ -168,11 +168,157 @@ class ContinuousBatcher:
                     self._finish(slot)
             if not self.active.any():
                 continue
+            self._pre_step()
             mask = jnp.asarray(self.active)
-            self.cache, self.kv_len, nxt = self._decode_step(
-                self.params, self.cache, self.kv_len, self.last_tok, mask)
+            self.cache, self.kv_len, nxt = self._step(mask)
             self.last_tok = nxt
             toks = np.asarray(nxt)
             for slot in np.where(self.active)[0]:
                 self._requests[slot].emitted.append(int(toks[slot]))
                 self.budget[slot] -= 1
+
+    def _make_cache(self, cfg, num_slots, max_len):
+        return init_kv_cache(cfg, num_slots, max_len)
+
+    def _pre_step(self):
+        pass
+
+    def _step(self, mask):
+        return self._decode_step(self.params, self.cache, self.kv_len,
+                                 self.last_tok, mask)
+
+
+class PagedContinuousBatcher(ContinuousBatcher):
+    """Continuous batcher over a block-paged KV pool: slots map logical
+    pages to pool blocks via a host-managed page table, so heterogeneous
+    prompt lengths never pin max_len per slot — the pool can hold MORE
+    concurrent sequences in the same HBM (decode throughput scales with
+    occupancy while weights dominate the per-step reads).
+
+    num_blocks defaults to num_slots * max_len / page (same worst case as
+    the contiguous batcher); lower it to oversubscribe."""
+
+    def __init__(self, model: LlamaForCausalLM, params, tokenizer,
+                 num_slots: int = 8, max_len: int = 1024,
+                 max_new_tokens: int = 128, prefill_bucket: int = 128,
+                 page: int = 128, num_blocks: Optional[int] = None):
+        from spider_tpu.models.llama import init_paged_kv_cache
+
+        assert prefill_bucket % page == 0, (prefill_bucket, page)
+        self.page = page
+        self.max_pages = max_len // page
+        # +1: block 0 is a reserved scratch block. Inactive slots still run
+        # the (branch-free) scatter-write every tick, and their zeroed
+        # page-table rows route those writes to block 0 — it must never be
+        # allocated or a live slot's page would be corrupted mid-stream.
+        n_blocks = (num_blocks or num_slots * self.max_pages) + 1
+        cfg = model.config
+
+        # host-managed page state
+        self._free = list(range(1, n_blocks))
+        self._table = np.zeros((num_slots, self.max_pages), np.int32)
+        self._n_alloc = np.zeros((num_slots,), np.int32)
+        self._pool = init_paged_kv_cache(cfg, n_blocks, page)
+
+        super().__init__(model, params, tokenizer, num_slots=num_slots,
+                         max_len=max_len, max_new_tokens=max_new_tokens,
+                         prefill_bucket=prefill_bucket)
+        pad = tokenizer.pad_token_id
+
+        @jax.jit
+        def paged_step(params, cache, kv_len, last_tok, active_mask, table):
+            emb = model.apply(params, last_tok[:, None], method=model.embed)
+            logits, _, cache = model.apply(
+                params, inputs_embeds=emb, positions=kv_len[:, None],
+                kv_write_index=kv_len, kv_cache=cache, kv_len=kv_len + 1,
+                page_table=table)
+            nxt = greedy(logits[:, -1])
+            nxt = jnp.where(active_mask, nxt, pad)
+            kv_len = kv_len + active_mask.astype(kv_len.dtype)
+            return cache, kv_len, nxt
+
+        self._paged_step = paged_step
+
+        @jax.jit
+        def write_pages(cache, small, blocks, n_pages):
+            # scatter a prefilled contiguous cache [L, 1, bucket, H, D] into
+            # pool blocks listed in `blocks` [max_pages] (first n_pages used)
+            pk, pv = cache
+            sk, sv = small
+            L, _, bucket, H, D = sk.shape
+            P = pk.shape[2]
+            pages = sk.reshape(L, bucket // P, P, H, D)
+            pagesv = sv.reshape(L, bucket // P, P, H, D)
+
+            def body(i, c):
+                pk, pv = c
+                b = blocks[i]
+                pk = jax.lax.dynamic_update_index_in_dim(
+                    pk, pages[:, i].astype(pk.dtype), b, axis=1)
+                pv = jax.lax.dynamic_update_index_in_dim(
+                    pv, pagesv[:, i].astype(pv.dtype), b, axis=1)
+                return pk, pv
+
+            return jax.lax.fori_loop(0, n_pages, body, (pk, pv))
+
+        self._write_pages = write_pages
+
+    def _make_cache(self, cfg, num_slots, max_len):
+        return self._pool
+
+    def _alloc_page(self, slot: int, logical: int):
+        if not self._free:
+            raise RuntimeError("paged KV pool exhausted")
+        self._table[slot, logical] = self._free.pop()
+        self._n_alloc[slot] = logical + 1
+
+    def _admit(self, req: _Request, slot: int):
+        ids = req.ids[: self.max_len - self.max_new_tokens]
+        bucket = ((len(ids) + self.prefill_bucket - 1)
+                  // self.prefill_bucket) * self.prefill_bucket
+        bucket = max(bucket, self.page)
+        arr = np.full((1, bucket), self.tokenizer.pad_token_id, np.int64)
+        arr[0, : len(ids)] = ids
+        small, tok0 = self._prefill_fn(bucket)(
+            self.params, jnp.asarray(arr),
+            jnp.asarray([len(ids)], jnp.int32))
+        n_pages = -(-len(ids) // self.page)
+        # bucket is a multiple of page (prefill_bucket is); allocate + scatter
+        self._table[slot] = 0
+        for i in range(n_pages):
+            self._alloc_page(slot, i)
+        blocks = np.zeros((self.max_pages,), np.int32)
+        blocks[:n_pages] = self._table[slot, :n_pages]
+        self.cache = self._write_pages(self.cache, small,
+                                       jnp.asarray(blocks),
+                                       jnp.asarray(n_pages))
+        self.kv_len = self.kv_len.at[slot].set(len(ids))
+        self.last_tok = self.last_tok.at[slot].set(int(tok0[0]))
+        self.active[slot] = True
+        self.budget[slot] = self.max_new_tokens - 1
+        req.slot = slot
+        req.emitted = [int(tok0[0])]
+        self._requests[slot] = req
+
+    def _finish(self, slot: int):
+        # free exactly the pages this slot allocated (_n_alloc counts both
+        # admit-time and decode-grown pages)
+        n = int(self._n_alloc[slot])
+        self._free.extend(int(b) for b in self._table[slot, :n])
+        self._table[slot, :] = 0
+        self._n_alloc[slot] = 0
+        super()._finish(slot)
+
+    def _pre_step(self):
+        # the next token writes at position kv_len[s]: make sure its page
+        # exists before the device step
+        lens = np.asarray(self.kv_len)
+        for slot in np.where(self.active)[0]:
+            logical = int(lens[slot]) // self.page
+            if int(lens[slot]) % self.page == 0 and logical < self.max_pages:
+                self._alloc_page(slot, logical)
+
+    def _step(self, mask):
+        return self._paged_step(self.params, self.cache, self.kv_len,
+                                self.last_tok, mask,
+                                jnp.asarray(self._table))

@@ -15,14 +15,45 @@ from spider_tpu.models.spider_decoder import (empty_predictions,
                                               empty_predictions_text)
 
 
+def load_demo_checkpoint(model, demo_config_path: str) -> bool:
+    """demo_config.json analogue (reference:
+    train_configs/demo_config.json — DS mp_rank_00_model_states.pt selection,
+    demo/inference_api.py:152-176): {"type": "orbax", "checkpoints": [dir]}.
+    Restores the first existing checkpoint's trained params into the model.
+    Returns True if something was loaded."""
+    import json
+    import os
+
+    with open(demo_config_path) as f:
+        spec = json.load(f)
+    for path in spec.get("checkpoints", []):
+        if not os.path.exists(path):
+            continue
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        params = restored.get("params", restored)
+        model.update_params(params)
+        logging.info("SpiderInference: restored params from %s", path)
+        return True
+    logging.warning("demo_config %s: no checkpoint found on disk",
+                    demo_config_path)
+    return False
+
+
 class SpiderInference:
-    def __init__(self, cfg, model=None, story_fn=None):
+    def __init__(self, cfg, model=None, story_fn=None,
+                 demo_config: Optional[str] = None):
         if model is None:
             from spider_tpu.models.factory import build_spider_from_config
 
             model_config = dict(cfg.model)
             model_config.pop("type", None)
             model = build_spider_from_config(model_config)
+        demo_config = demo_config or (cfg.run.get("demo_config")
+                                      if hasattr(cfg, "run") else None)
+        if demo_config:
+            load_demo_checkpoint(model, demo_config)
         self.model = model
         self.story_fn = story_fn
         self.config = cfg

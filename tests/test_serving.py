@@ -203,3 +203,44 @@ def test_continuous_batcher_matches_standalone():
                    if int(t) != tok.pad_token_id]
         want = tok.decode(ref_ids, skip_special_tokens=True)
         assert got == want, (prompt, got, want)
+
+
+def test_paged_continuous_batcher_matches_standalone():
+    """Greedy parity of the block-paged KV batcher vs standalone generate,
+    with mixed prompt lengths and slot reuse (pages alloc/free cycles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.decode import GenerateConfig, generate
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.serving.continuous import PagedContinuousBatcher
+
+    cfg = L.llama_tiny(vocab_size=300)
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    tok = TinyTokenizer()
+    cb = PagedContinuousBatcher(model, params, tok, num_slots=2, max_len=64,
+                                max_new_tokens=6, prefill_bucket=16, page=16,
+                                num_blocks=6)
+    prompts = ["hi", "prompt number one is longer than the others by far",
+               "medium sized prompt here", "tail request"]
+    futs = [cb.submit(p) for p in prompts]
+    outs = [f.result(timeout=600) for f in futs]
+    # pool fully drains after all requests finish (block 0 = scratch,
+    # never allocated)
+    assert sorted(cb._free) == list(range(1, 7))
+    cb.close()
+
+    for prompt, got in zip(prompts, outs):
+        ids = tok(prompt, add_special_tokens=True).input_ids
+        emb = model.apply(params, jnp.asarray([ids], jnp.int32),
+                          method=model.embed)
+        ref = generate(model, params, emb, jnp.asarray([len(ids)], jnp.int32),
+                       GenerateConfig(max_new_tokens=6,
+                                      eos_ids=(tok.eos_token_id,),
+                                      pad_id=tok.pad_token_id))
+        ref_ids = [int(t) for t in np.asarray(ref["tokens"][0])
+                   if int(t) != tok.pad_token_id]
+        want = tok.decode(ref_ids, skip_special_tokens=True)
+        assert got == want, (prompt, got, want)
