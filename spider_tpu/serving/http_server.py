@@ -16,21 +16,63 @@ from typing import Any
 
 import numpy as np
 
-_PAGE = """<!doctype html><html><head><title>spider-tpu</title></head>
+_PAGE = """<!doctype html><html><head><title>spider-tpu</title><style>
+body{font-family:sans-serif;max-width:900px;margin:2em auto}
+#hist{border:1px solid #ccc;padding:1em;min-height:120px}
+.turn{margin-bottom:1em}.u{color:#246}.media img{max-width:256px;margin:2px}
+video,audio{display:block;margin:4px 0}</style></head>
 <body><h2>spider-tpu any-to-many chat</h2>
-<textarea id=q rows=3 cols=80></textarea><br>
-<button onclick="send()">Send</button><div id=out></div>
+<div id=hist></div>
+<textarea id=q rows=3 cols=80 placeholder="Ask for text + any media..."></textarea><br>
+Output modality:
+<select id=task>
+ <option>TEXT</option><option>IMAGE</option><option>VIDEO</option>
+ <option>AUDIO</option><option>MASK</option><option>BOX</option>
+ <option>SMARTMULTIMODAL</option><option>IMAGESTORY</option>
+</select><br>
+Image: <input type=file id=img accept="image/*">
+Audio: <input type=file id=aud accept="audio/*">
+Video frames: <input type=file id=vid accept="image/*" multiple><br>
+<button onclick="send()">Send</button>
 <script>
-async function send(){
- const r = await fetch('/chat', {method:'POST', headers:{'Content-Type':'application/json'},
-   body: JSON.stringify({text: document.getElementById('q').value})});
- const j = await r.json();
- let html = '<p>'+j.answer+'</p>';
- for (const ev of j.events){
-   if (ev.kind=='image'||ev.kind=='mask') html += '<img src="data:image/png;base64,'+ev.data+'"/>';
-   if (ev.kind=='audio') html += '<audio controls src="data:audio/wav;base64,'+ev.data+'"></audio>';
+function b64(file){return new Promise(res=>{const r=new FileReader();
+ r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(file);});}
+function render(ev){
+ if(ev.kind=='image'||ev.kind=='mask')
+   return '<img src="data:image/png;base64,'+ev.data+'" title="'+(ev.caption||'')+'"/>';
+ if(ev.kind=='audio')
+   return '<audio controls src="data:audio/wav;base64,'+ev.data+'"></audio>';
+ if(ev.kind=='video'||ev.kind=='story'){
+   const id='v'+Math.random().toString(36).slice(2);
+   if(ev.kind=='story')
+     return '<div class=media>'+ev.data.map(f=>'<img src="data:image/png;base64,'+f+'"/>').join('')+'</div>';
+   // video: flipbook over returned frames
+   let html='<img id="'+id+'" src="data:image/png;base64,'+ev.data[0]+'"/>';
+   html+='<script>(function(){let i=0;setInterval(()=>{const el=document.getElementById("'+id+'");'
+     +'if(el){i=(i+1)%'+ev.data.length+';el.src="data:image/png;base64,"+'+JSON.stringify(ev.data)+'[i];}},125);})()<'+'/script>';
+   return html;
  }
- document.getElementById('out').innerHTML = html;
+ if(ev.kind=='box')
+   return '<pre>'+JSON.stringify({bboxes:ev.bboxes,labels:ev.labels,scores:ev.scores})+'</pre>';
+ return '';
+}
+async function send(){
+ const body={text:document.getElementById('q').value,
+             task:document.getElementById('task').value};
+ const img=document.getElementById('img').files[0];
+ if(img) body.image=await b64(img);
+ const aud=document.getElementById('aud').files[0];
+ if(aud) body.audio=await b64(aud);
+ const vids=document.getElementById('vid').files;
+ if(vids.length) body.video_frames=await Promise.all([...vids].map(b64));
+ const hist=document.getElementById('hist');
+ hist.innerHTML+='<div class=turn><b class=u>you:</b> '+body.text+'</div>';
+ const r=await fetch('/chat',{method:'POST',
+   headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+ const j=await r.json();
+ let html='<div class=turn><b>spider:</b> '+j.answer+'<div class=media>';
+ for(const ev of j.events) html+=render(ev);
+ hist.innerHTML+=html+'</div></div>';
 }
 </script></body></html>"""
 
@@ -107,6 +149,31 @@ def build_ask_info(req: dict) -> dict:
     return ask
 
 
+def decode_mm_inputs(req: dict):
+    """(audios, images, videos) understanding inputs for the chat backbone
+    (qwen2.5omni_spider_web.py:458-466 process_mm_info analogue): 'audio' =
+    base64 wav -> float waveform; 'image' = base64 png/jpg -> HWC array;
+    'video_frames' = list of base64 frames -> [F, H, W, 3]."""
+    import wave as wavmod
+
+    from PIL import Image
+
+    audios = images = videos = None
+    if req.get("audio"):
+        with wavmod.open(io.BytesIO(base64.b64decode(req["audio"]))) as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+        audios = [pcm.astype(np.float32) / 32767.0]
+    if req.get("image"):
+        raw = base64.b64decode(req["image"])
+        images = [np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))]
+    if req.get("video_frames"):
+        frames = [np.asarray(Image.open(io.BytesIO(base64.b64decode(f)))
+                             .convert("RGB"))
+                  for f in req["video_frames"]]
+        videos = [np.stack(frames)]
+    return audios, images, videos
+
+
 def make_handler(spider_free):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
@@ -121,8 +188,15 @@ def make_handler(spider_free):
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
+            mm_kwargs = {}
+            if req.get("mm_understanding"):
+                # route uploads through the omni chat backbone too (the
+                # default Llama backbone is text-only and would refuse)
+                audios, images, videos = decode_mm_inputs(req)
+                mm_kwargs = dict(audios=audios, images=images, videos=videos)
             events, answers, _, _ = spider_free.chat(
-                req.get("text", ""), extra_inputs=build_ask_info(req))
+                req.get("text", ""), extra_inputs=build_ask_info(req),
+                task_prompt=req.get("task", "TEXT"), **mm_kwargs)
             body = json.dumps({
                 "answer": answers[0] if answers else "",
                 "events": [serialize_event(k, p) for k, p in events

@@ -55,10 +55,48 @@ class SpiderFree:
         self.decoder_infer = SpiderDecoderInfer(cfg, decoders=decoders,
                                                 story_fn=story_fn)
 
+    # TaskPrompt instructions the reference's modality radio buttons map to
+    # (demo/frontend.py:576-651): appended to the user turn so the LLM emits
+    # the right tags.
+    TASK_HINTS = {
+        "TEXT": "",
+        "IMAGE": " Respond with an image: wrap its caption in "
+                 "<IMAGE>...</IMAGE>.",
+        "VIDEO": " Respond with a video: wrap its caption in "
+                 "<VIDEO>...</VIDEO>.",
+        "AUDIO": " Respond with an audio clip: wrap its caption in "
+                 "<AUDIO>...</AUDIO>.",
+        "MASK": " Segment the requested object: wrap its name in "
+                "<MASK>...</MASK>.",
+        "BOX": " Detect the requested object: wrap its name in "
+               "<BOX>...</BOX>.",
+        "SMARTMULTIMODAL": " Choose the best mix of output modalities and "
+                           "wrap each caption in its tags.",
+        "IMAGESTORY": " Respond with an image story: wrap the story spec in "
+                      "<IMAGESTORY>...</IMAGESTORY>.",
+    }
+
     def chat(self, user_text: str,
-             extra_inputs: Optional[Dict[str, Any]] = None):
-        prompt = f"{self.system_prompt}\nUser: {user_text}\nOutput:"
-        raw = self.chat_fn(prompt)
+             extra_inputs: Optional[Dict[str, Any]] = None,
+             task_prompt: str = "TEXT",
+             audios=None, images=None, videos=None):
+        hint = self.TASK_HINTS.get(task_prompt, "")
+        prompt = f"{self.system_prompt}\nUser: {user_text}{hint}\nOutput:"
+        if audios or images or videos:
+            import inspect
+
+            params = inspect.signature(self.chat_fn).parameters
+            if not ({"audios", "images", "videos"} & set(params)
+                    or any(p.kind is inspect.Parameter.VAR_KEYWORD
+                           for p in params.values())):
+                raise ValueError(
+                    "chat backbone is text-only but audio/image/video "
+                    "understanding inputs were supplied — use the Omni "
+                    "adapter or the flax Omni thinker")
+            raw = self.chat_fn(prompt, audios=audios, images=images,
+                               videos=videos)
+        else:
+            raw = self.chat_fn(prompt)
         answer = extract_answer(raw)
         ask_info: Dict[str, Any] = dict(extra_inputs or {})
         ask_info["llm_text_all"] = [answer]

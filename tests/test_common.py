@@ -114,3 +114,26 @@ def test_config_merge_and_dump(tmp_path):
     merged.dump(str(out))
     back = Config.fromfile(str(out))
     assert back.model.b.d == 4
+
+
+def test_observability_tb_export_and_hbm_budget(tmp_path):
+    import json
+
+    from spider_tpu.common.observability import HbmBudget, export_tensorboard
+
+    mpath = tmp_path / "metrics.jsonl"
+    with open(mpath, "w") as f:
+        for step in range(3):
+            f.write(json.dumps({"step": step, "epoch": 0, "loss": 1.0 / (step + 1),
+                                "lr": 1e-4}) + "\n")
+    n = export_tensorboard(str(mpath), str(tmp_path / "tb"))
+    assert n == 3
+    assert any(p.name.startswith("events") for p in (tmp_path / "tb").iterdir())
+
+    import jax.numpy as jnp
+
+    budget = HbmBudget()
+    budget.register("llm", {"w": jnp.zeros((2048, 2048), jnp.bfloat16)})
+    out = budget.report()
+    assert out["components_gb"]["llm"] > 0
+    assert out["registered_total_gb"] > 0

@@ -182,3 +182,29 @@ def test_embed_and_word_align_losses():
     spider.use_embed_align_loss = False
     spider.word_align_loss = False
     spider.only_embed_align_loss = False
+
+
+def test_standalone_aligner_losses():
+    """Kosmos-G-style standalone aligner (models/aligner.py; reference
+    spider/models/aligner.py:11 — optional/unwired there too)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from spider_tpu.models.aligner import (Aligner, AlignerConfig,
+                                           AlignerEncoder)
+
+    cfg = AlignerConfig(llm_dim=32, clip_dim=16, num_queries=7,
+                        max_positions=64)
+    m = Aligner(cfg)
+    cond = jax.random.normal(jax.random.PRNGKey(0), (2, 11, 32))
+    clip = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 16))
+    params = m.init(jax.random.PRNGKey(2), cond, clip)
+    out = m.apply(params, cond, clip)
+    assert out["aligned"].shape == (2, 7, 16)
+    assert float(out["mse_loss"]) > 0 and float(out["rec_loss"]) > 0
+
+    enc = AlignerEncoder(cfg)
+    ep = enc.init(jax.random.PRNGKey(3), cond)
+    aligned = enc.apply(ep, cond)
+    assert aligned.shape == (2, 7, 16)
