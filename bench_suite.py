@@ -172,6 +172,53 @@ def bench_audio(n_steps: int = 40):
                 wave_samples=int(wave.shape[-1]))
 
 
+def bench_paged_serving(num_requests: int = 24, new_tokens: int = 48):
+    """Continuous batching throughput at MIXED prompt lengths: block-paged
+    KV (16 slots in the HBM the contiguous batcher spends on 8) vs the
+    contiguous baseline. 8B int8 decode."""
+    import dataclasses
+
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.serving.continuous import (ContinuousBatcher,
+                                               PagedContinuousBatcher)
+
+    cfg = dataclasses.replace(L.llama3_8b(), quantization="int8",
+                              param_dtype=jnp.bfloat16)
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    tok = TinyTokenizer()
+    words = ["horse", "beach", "run", "paint", "sky", "song", "red", "cat"]
+    prompts = [" ".join(words[(i * 3) % 8:] * ((i % 7) + 1))[: 40 * ((i % 6) + 1)]
+               for i in range(num_requests)]
+
+    results = {}
+    for name, mk in (
+            ("contiguous bs=8",
+             lambda: ContinuousBatcher(model, params, tok, num_slots=8,
+                                       max_len=512,
+                                       max_new_tokens=new_tokens)),
+            ("paged bs=16",
+             lambda: PagedContinuousBatcher(
+                 model, params, tok, num_slots=16, max_len=512,
+                 max_new_tokens=new_tokens, page=128,
+                 num_blocks=8 * 4))):  # same KV HBM as contiguous 8x512
+        cb = mk()
+        futs = [cb.submit(p) for p in prompts[:4]]  # warm/compile
+        [f.result(timeout=1200) for f in futs]
+        t0 = time.perf_counter()
+        futs = [cb.submit(p) for p in prompts]
+        outs = [f.result(timeout=1200) for f in futs]
+        dt = time.perf_counter() - t0
+        cb.close()
+        results[name] = round(num_requests * new_tokens / dt, 1)
+
+    return dict(metric="8B int8 serving tok/s/chip, mixed prompt lengths "
+                       "(continuous batching)",
+                value=results["paged bs=16"], unit="tokens/s/chip",
+                **{k.replace(" ", "_"): v for k, v in results.items()})
+
+
 def bench_detection():
     """Grounding DINO swin-T forward + SAM ViT-H box-prompted mask — the
     BASELINE det/seg operating points (spider_decoder.py:266, build_sam.py:15).
@@ -202,8 +249,9 @@ def bench_detection():
     im = jnp.zeros((1, 3, 512, 512), jnp.float32)
     ids = jnp.zeros((1, dcfg.max_text_len), jnp.int32)
     mask = jnp.ones((1, dcfg.max_text_len), jnp.int32)
+    from spider_tpu.models.factory import random_params_like
     with jax.default_device(cpu):
-        dparams = dino.init(rng, im, ids, mask)
+        dparams = random_params_like(dino, rng, im, ids, mask)
     dparams = to_dev_bf16(dparams)
     infer = GroundingDINOInference(dino, dparams, TinyTokenizer())
     image = np.zeros((480, 640, 3), np.uint8)
@@ -219,7 +267,7 @@ def bench_detection():
     img1024 = jnp.zeros((1, 3, 1024, 1024), jnp.float32)
     boxes = jnp.asarray([[[100.0, 100.0, 400.0, 400.0]]])
     with jax.default_device(cpu):
-        sparams = sam.init(rng, img1024, boxes=boxes)
+        sparams = random_params_like(sam, rng, img1024, boxes=boxes)
     sparams = to_dev_bf16(sparams)
     predict = jax.jit(lambda p, im, b: sam.apply(p, im, b,
                                                  method=sam.predict_box))
@@ -272,15 +320,17 @@ def bench_story(n_steps: int = 6):
                 np.asarray(x, np.float32).astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else np.asarray(x), tpu), tree)
 
+    from spider_tpu.models.factory import random_params_like
     with jax.default_device(cpu):
-        p1 = enc1.init(rng, jnp.zeros((1, 77), jnp.int32))
-        p2 = enc2.init(rng, jnp.zeros((1, 77), jnp.int32))
-        up = unet.init(rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
-                       jnp.zeros((1,), jnp.int32),
-                       jnp.zeros((1, 77, 2048), jnp.bfloat16),
-                       dict(text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
-                            time_ids=jnp.zeros((1, 6), jnp.float32)))
-        vp = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+        p1 = random_params_like(enc1, rng, jnp.zeros((1, 77), jnp.int32))
+        p2 = random_params_like(enc2, rng, jnp.zeros((1, 77), jnp.int32))
+        up = random_params_like(
+            unet, rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 2048), jnp.bfloat16),
+            dict(text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
+                 time_ids=jnp.zeros((1, 6), jnp.float32)))
+        vp = random_params_like(vae, rng, jnp.zeros((1, 64, 64, 3)))
     p1, p2, up, vp = map(to_dev_bf16, (p1, p2, up, vp))
     pipe = StoryXLPipeline(tok, tok, enc1, p1, enc2, p2, unet, up, vae, vp,
                            height=768, width=768)
@@ -326,6 +376,8 @@ def main():
         results.append(bench_audio())
     if which in ("detection",):
         results.append(bench_detection())
+    if which in ("paged",):
+        results.append(bench_paged_serving())
 
     # merge-by-metric into bench_details.json (never truncate: rows from
     # other modes are the perf record the docs cite)

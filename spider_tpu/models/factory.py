@@ -227,8 +227,9 @@ def from_pretrained(kind: str, path: Optional[str] = None,
                                               cfg)
         else:
             with jax.default_device(cpu):
-                params = model.init(rng, jnp.zeros((1, 3, 1024, 1024)),
-                                    boxes=jnp.zeros((1, 1, 4)))
+                params = random_params_like(
+                    model, rng, jnp.zeros((1, 3, 1024, 1024)),
+                    boxes=jnp.zeros((1, 1, 4)))
         return model, _cast_device(params, dtype)
 
     if kind == "grounding_dino":
@@ -243,8 +244,8 @@ def from_pretrained(kind: str, path: Optional[str] = None,
                 C.load_torch_state_dict(path), cfg)
         else:
             with jax.default_device(cpu):
-                params = model.init(
-                    rng, jnp.zeros((1, 3, 512, 512)),
+                params = random_params_like(
+                    model, rng, jnp.zeros((1, 3, 512, 512)),
                     jnp.zeros((1, cfg.max_text_len), jnp.int32),
                     jnp.ones((1, cfg.max_text_len), jnp.int32))
         tok = _hf_tokenizer(path, "") if path else TinyTokenizer()
@@ -260,8 +261,8 @@ def from_pretrained(kind: str, path: Optional[str] = None,
                 C.load_torch_state_dict(path), cfg)
         else:
             with jax.default_device(cpu):
-                params = model.init(rng, {"vision": jnp.zeros(
-                    (1, 3, 2, 224, 224))})
+                params = random_params_like(
+                    model, rng, {"vision": jnp.zeros((1, 3, 2, 224, 224))})
         return model, _cast_device(params, dtype)
 
     if kind == "sd15":
@@ -285,11 +286,13 @@ def from_pretrained(kind: str, path: Optional[str] = None,
                 C.load_torch_state_dict(_sub(path, "vae")), vcfg)
         else:
             with jax.default_device(cpu):
-                tp = text.init(rng, jnp.zeros((1, 77), jnp.int32))
-                up = unet.init(rng, jnp.zeros((1, 8, 8, 4), dtype),
-                               jnp.zeros((1,), jnp.int32),
-                               jnp.zeros((1, 77, 768), dtype))
-                vp = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+                tp = random_params_like(text, rng,
+                                        jnp.zeros((1, 77), jnp.int32))
+                up = random_params_like(unet, rng,
+                                        jnp.zeros((1, 8, 8, 4), dtype),
+                                        jnp.zeros((1,), jnp.int32),
+                                        jnp.zeros((1, 77, 768), dtype))
+                vp = random_params_like(vae, rng, jnp.zeros((1, 64, 64, 3)))
         return StableDiffusionPipeline(
             _hf_tokenizer(path), text, _cast_device(tp, dtype),
             unet, _cast_device(up, dtype), vae, _cast_device(vp, dtype),
@@ -382,15 +385,17 @@ def from_pretrained(kind: str, path: Optional[str] = None,
                 C.load_torch_state_dict(_sub(path, "vae")), vcfg)
         else:
             with jax.default_device(cpu):
-                p1 = enc1.init(rng, jnp.zeros((1, 77), jnp.int32))
-                p2 = enc2.init(rng, jnp.zeros((1, 77), jnp.int32))
-                up = unet.init(
-                    rng, jnp.zeros((1, 8, 8, 4), dtype),
+                p1 = random_params_like(enc1, rng,
+                                        jnp.zeros((1, 77), jnp.int32))
+                p2 = random_params_like(enc2, rng,
+                                        jnp.zeros((1, 77), jnp.int32))
+                up = random_params_like(
+                    unet, rng, jnp.zeros((1, 8, 8, 4), dtype),
                     jnp.zeros((1,), jnp.int32),
                     jnp.zeros((1, 77, 2048), dtype),
                     dict(text_embeds=jnp.zeros((1, 1280), dtype),
                          time_ids=jnp.zeros((1, 6), jnp.float32)))
-                vp = vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+                vp = random_params_like(vae, rng, jnp.zeros((1, 64, 64, 3)))
         tok = _hf_tokenizer(path)
         tok2 = _hf_tokenizer(path, "tokenizer_2") if path else tok
         return StoryXLPipeline(
@@ -399,3 +404,38 @@ def from_pretrained(kind: str, path: Optional[str] = None,
             vae, _cast_device(vp, dtype), height=768, width=768)
 
     raise ValueError(f"unknown from_pretrained kind: {kind}")
+
+
+def random_params_like(module, rng, *args, scale: float = 0.02, **kwargs):
+    """Shape-true random params WITHOUT running the module's initializers:
+    jax.eval_shape + numpy Philox fill (~100x faster than flax init on CPU
+    for 1B+ params — the full-size random builders exist for perf/serving
+    scaffolding, so initializer distributions don't matter; real weights
+    come from models/convert.py). Float leaves ~ N(0, scale); int leaves 0."""
+    import numpy as _np
+
+    abstract = jax.eval_shape(module.init, rng, *args, **kwargs)
+    np_rng = _np.random.default_rng(
+        int(jax.random.randint(rng, (), 0, 2**31 - 1)))
+
+    # Params that are multiplicative scales MUST init ~1 (flax Layer/Group
+    # Norm 'scale', weight-norm gains, HiFiGAN's normalize 'scale' — which
+    # the vocoder DIVIDES by: near-zero values overflow to inf and can
+    # crash the TPU worker).
+    ONES_KEYS = ("scale", "gamma", "g", "logit_scale", "kernel_scale")
+
+    def leaf(path, x):
+        key = ""
+        for p in reversed(path):
+            if hasattr(p, "key"):
+                key = str(p.key)
+                break
+        if _np.issubdtype(_np.dtype(x.dtype), _np.floating) or \
+                str(x.dtype) == "bfloat16":
+            if key in ONES_KEYS:
+                return _np.ones(x.shape, _np.float32).astype(x.dtype)
+            out = np_rng.standard_normal(x.shape, dtype=_np.float32) * scale
+            return out.astype(x.dtype)
+        return _np.zeros(x.shape, x.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, abstract)

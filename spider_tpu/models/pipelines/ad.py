@@ -150,7 +150,7 @@ def build_full_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
     from spider_tpu.models.vae import vae_audioldm
     from spider_tpu.models.vocoder import HifiGan, hifigan_audioldm
 
-    rng = rng or jax.random.PRNGKey(0)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
     cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
@@ -176,16 +176,18 @@ def build_full_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
     vae = AutoencoderKL(vcfg)
     hcfg = hifigan_audioldm()
     voc = HifiGan(hcfg)
+    from spider_tpu.models.factory import random_params_like
     with jax.default_device(cpu):
-        tparams = text.init(rng, jnp.zeros((1, 8), jnp.int32))
-        uparams = unet.init(
-            rng, jnp.zeros((1, 8, 8, ucfg.in_channels), jnp.bfloat16),
+        tparams = random_params_like(text, rng, jnp.zeros((1, 8), jnp.int32))
+        uparams = random_params_like(
+            unet, rng, jnp.zeros((1, 8, 8, ucfg.in_channels), jnp.bfloat16),
             jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 1, ucfg.cross_attention_dim), jnp.bfloat16),
             dict(class_embeds=jnp.zeros((1, tcfg.projection_dim),
                                         jnp.bfloat16)))
-        vparams = vae.init(rng, jnp.zeros((1, 16, 16, 1)))
-        hparams = voc.init(rng, jnp.zeros((1, 16, hcfg.model_in_dim)))
+        vparams = random_params_like(vae, rng, jnp.zeros((1, 16, 16, 1)))
+        hparams = random_params_like(voc, rng,
+                                     jnp.zeros((1, 16, hcfg.model_in_dim)))
     tparams, uparams, vparams, hparams = map(
         to_dev_bf16, (tparams, uparams, vparams, hparams))
     return AudioLDMPipeline(tokenizer, text, tparams, unet, uparams, vae,
@@ -200,7 +202,7 @@ def build_tiny_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
     from spider_tpu.models.vocoder import HifiGanConfig, hifigan_tiny
     import dataclasses as dc
 
-    rng = rng or jax.random.PRNGKey(0)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
     tcfg = clap_tiny(vocab_size=max(len(tokenizer), 300))
     text = ClapTextModel(tcfg)

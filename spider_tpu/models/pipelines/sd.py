@@ -141,7 +141,7 @@ def build_tiny_sd(tokenizer=None, rng=None) -> StableDiffusionPipeline:
     from spider_tpu.models.vae import vae_tiny
     from spider_tpu.models.tokenizer import TinyTokenizer
 
-    rng = rng or jax.random.PRNGKey(0)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
     tcfg = clip_tiny(vocab_size=max(len(tokenizer), 300))
     text = CLIPTextModel(tcfg)

@@ -265,7 +265,7 @@ def build_tiny_sdxl(tokenizer=None, rng=None) -> StoryXLPipeline:
     from spider_tpu.models.vae import vae_tiny
     import dataclasses as dc
 
-    rng = rng or jax.random.PRNGKey(0)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
     t1 = clip_tiny(vocab_size=max(len(tokenizer), 300))
     t2 = dc.replace(clip_tiny(vocab_size=max(len(tokenizer), 300)),

@@ -275,7 +275,7 @@ def build_tiny_omni_thinker(tokenizer=None, rng=None) -> QwenOmniThinker:
     """CPU-testable random-init thinker with all three towers."""
     from spider_tpu.models.tokenizer import TinyTokenizer
 
-    rng = rng or jax.random.PRNGKey(0)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
     lcfg = dataclasses.replace(thinker_tiny_llm(),
                                vocab_size=max(len(tokenizer), 512))

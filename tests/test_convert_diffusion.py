@@ -691,6 +691,12 @@ def test_grounding_dino_converter_roundtrip():
     _emit_module(sd, f"bbox_head.reg_branches.{cfg.dec_layers}.0", eb["fc0"])
     _emit_module(sd, f"bbox_head.reg_branches.{cfg.dec_layers}.2", eb["fc1"])
     _emit_module(sd, f"bbox_head.reg_branches.{cfg.dec_layers}.4", eb["out"])
+    # ContrastiveEmbed scalar biases (log_scale='auto', bias=True): final
+    # decoder branch + encoder (two-stage) branch
+    sd[f"bbox_head.cls_branches.{cfg.dec_layers - 1}.bias"] = \
+        np.asarray(p["cls_bias"])
+    sd[f"bbox_head.cls_branches.{cfg.dec_layers}.bias"] = \
+        np.asarray(p["enc_cls_bias"])
 
     converted = convert_grounding_dino_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
