@@ -66,14 +66,21 @@ class AudioLDMPipeline:
         emb = self._encode_jit(self.text_params, ids, mask)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
+    # Scan segment size: the monolithic 40-step scan program reliably
+    # faults the TPU worker on the axon relay (20-step compiles/runs fine;
+    # value-independent — reproduced with all-zero inputs and a fresh
+    # compile cache). Timesteps are an ARGUMENT, so one compiled
+    # segment-program serves the whole trajectory in chunks.
+    SCAN_SEGMENT = 20
+
     def _denoise_fn(self, num_steps: int, guidance_scale: float, shape):
-        key = (num_steps, guidance_scale, shape)
+        seg = min(self.SCAN_SEGMENT, num_steps)
+        key = (seg, guidance_scale, shape)
         if key not in self._denoise_cache:
             sched = self.scheduler
-            timesteps = sched.timesteps(num_steps)
 
             @jax.jit
-            def run(unet_params, latents, cond, uncond):
+            def run(unet_params, latents, cond, uncond, timesteps, num_steps):
                 class_embeds = jnp.concatenate([uncond, cond], axis=0)
                 # AudioLDM passes the CLAP vector via the class-embedding path;
                 # cross-attention context is a dummy of the same vector.
@@ -93,7 +100,19 @@ class AudioLDMPipeline:
                 return latents
 
             self._denoise_cache[key] = run
-        return self._denoise_cache[key]
+
+        seg_run = self._denoise_cache[key]
+        all_ts = np.asarray(self.scheduler.timesteps(num_steps))
+
+        def run_all(unet_params, latents, cond, uncond):
+            n_total = jnp.asarray(num_steps, jnp.int32)
+            for i in range(0, num_steps, seg):
+                # a shorter tail chunk just specializes the same jitted fn
+                latents = seg_run(unet_params, latents, cond, uncond,
+                                  jnp.asarray(all_ts[i:i + seg]), n_total)
+            return latents
+
+        return run_all
 
     def __call__(self, prompt: Optional[Sequence[str]] = None,
                  prompt_embeds: Optional[jnp.ndarray] = None,
@@ -132,9 +151,14 @@ class AudioLDMPipeline:
         latents = run(self.unet_params, latents,
                       prompt_embeds.astype(jnp.float32),
                       uncond.astype(jnp.float32))
-        mel = self.vae.apply(self.vae_params, latents, method=self.vae.decode)
-        # mel [B, T, bins, 1] -> waveform
-        wave = self.vocoder.apply(self.vocoder_params, mel[..., 0])
+        # VAE mel decode + HiFiGAN vocoding in ONE jitted call (eager
+        # dispatch of the vocoder's op stream crashes the relay worker and
+        # pays per-op round trips).
+        if not hasattr(self, "_decode_jit"):
+            self._decode_jit = jax.jit(
+                lambda vp, hp, l: self.vocoder.apply(
+                    hp, self.vae.apply(vp, l, method=self.vae.decode)[..., 0]))
+        wave = self._decode_jit(self.vae_params, self.vocoder_params, latents)
         return np.asarray(wave)
 
 

@@ -95,9 +95,11 @@ class StableDiffusionPipeline:
         return self._denoise_cache[key]
 
     def _decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
-        images = self.vae.apply(self.vae_params, latents, method=self.vae.decode)
-        images = (images / 2 + 0.5).clip(0.0, 1.0)
-        return np.asarray(images)
+        if not hasattr(self, "_decode_jit"):
+            self._decode_jit = jax.jit(
+                lambda p, l: (self.vae.apply(p, l, method=self.vae.decode)
+                              / 2 + 0.5).clip(0.0, 1.0))
+        return np.asarray(self._decode_jit(self.vae_params, latents))
 
     # ------------------------------------------------------------------ call
     def __call__(self, prompt: Optional[Sequence[str]] = None,

@@ -220,12 +220,15 @@ class StoryXLPipeline:
         latents = run(self.unet_params, latents, ctx, pooled, un_ctx,
                       un_pooled, time_ids, story_indices)
         # decode in small chunks: full-res VAE activations for a whole story
-        # batch exceed HBM at 768px+.
-        chunks = []
-        for i in range(0, latents.shape[0], 2):
-            img = self.vae.apply(self.vae_params, latents[i:i + 2],
-                                 method=self.vae.decode)
-            chunks.append(np.asarray((img / 2 + 0.5).clip(0.0, 1.0)))
+        # batch exceed HBM at 768px+. Jitted (eager per-op dispatch is both
+        # slow and unstable through the relay).
+        if not hasattr(self, "_decode_jit"):
+            self._decode_jit = jax.jit(
+                lambda p, l: (self.vae.apply(p, l, method=self.vae.decode)
+                              / 2 + 0.5).clip(0.0, 1.0))
+        chunks = [np.asarray(self._decode_jit(self.vae_params,
+                                              latents[i:i + 2]))
+                  for i in range(0, latents.shape[0], 2)]
         return np.concatenate(chunks, axis=0)
 
 

@@ -131,11 +131,17 @@ def _attention(q, k, v, heads: int):
     # the kernel, padded query rows are sliced off — exact, and far cheaper
     # than the multi-GB fp32 logits the einsum would spill.
     logits_bytes = 4 * B * heads * T * S
-    # D < 64 pads >2x into the kernel's 128-lane head dim and the padded
-    # FLOPs lose to the einsum (measured: ZeroScope's D=40 2880-token level
-    # runs 17.1s/request via padded flash vs 14.3s via einsum).
-    use_flash = (jax.default_backend() == "tpu" and 64 <= D <= 128
-                 and (T >= 4096 or logits_bytes > 512 * 1024 * 1024))
+    # Routing, all measured on chip:
+    #  * D < 64 pads >2x into the kernel's 128-lane head dim, so at MODERATE
+    #    T the einsum wins — XLA flash-fuses it without materializing logits
+    #    (ZeroScope's D=40 T=2880 level: 14.3 s/request einsum vs 17.1 flash).
+    #  * But at T >= 4096 XLA's fusion gives up and materializes fp32
+    #    logits (AudioLDM's D=16 T=8192 level: 5 x 438 ms fusions writing
+    #    f32[2,8,8192,8192] = 2.2 s of a 2.3 s call) — padded flash is ~40x
+    #    cheaper there despite the 8x head-dim padding.
+    use_flash = (jax.default_backend() == "tpu" and D <= 128
+                 and (T >= 4096
+                      or (D >= 64 and logits_bytes > 512 * 1024 * 1024)))
     if use_flash:
         from spider_tpu.ops.attention import flash_attention
 

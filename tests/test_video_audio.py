@@ -37,7 +37,9 @@ def test_tiny_vd_pipeline():
     frames = pipe(prompt=["a dog"], num_inference_steps=2, height=16, width=16,
                   num_frames=2)
     assert frames.shape == (1, 2, 16, 16, 3)
-    assert frames.min() >= 0.0 and frames.max() <= 1.0
+    # frames are uint8 (device-side quantization keeps the host transfer
+    # 4x smaller — part of request latency)
+    assert frames.dtype == np.uint8
 
 
 def test_tiny_ad_pipeline():
