@@ -286,7 +286,7 @@ def bench_detection():
                 n_boxes=len(det["bboxes"]))
 
 
-def bench_story(n_steps: int = 6):
+def bench_story(n_steps: int = 50):
     """Full-size StoryDiffusion: SDXL 768px, 4 coupled frames (id_length=4),
     consistent self-attention, CFG — steps/s of the coupled denoise."""
     import numpy as np
