@@ -159,6 +159,9 @@ class TarReader {
         len = len * 10 + (body[j] - '0');
       }
       if (len == 0 || i + len > body.size()) return false;
+      // the record string spans (sp+1 .. i+len-2]; a malformed len smaller
+      // than its own "len " prefix would underflow the size_t length below
+      if (i + len < sp + 2) return false;
       std::string rec(reinterpret_cast<const char*>(&body[sp + 1]),
                       i + len - sp - 2);  // strip trailing '\n'
       if (rec.rfind("path=", 0) == 0) *out = rec.substr(5);

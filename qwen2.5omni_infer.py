@@ -51,9 +51,11 @@ def build_omni_chat_fn(qwen_path: str):
         inputs = processor(text=text, audio=audios, images=images,
                            videos=videos, return_tensors="pt", padding=True)
         out = model.generate(**inputs, max_new_tokens=512)
-        full = processor.batch_decode(out, skip_special_tokens=True)[0]
-        # strip the echoed prompt if present
-        return full.split(text)[-1] if text in full else full
+        # slice off the echoed prompt by token count (the decoded template
+        # text can't be string-matched: it contains special tokens that
+        # skip_special_tokens drops)
+        gen = out[:, inputs["input_ids"].shape[1]:]
+        return processor.batch_decode(gen, skip_special_tokens=True)[0]
 
     return chat_fn
 

@@ -64,7 +64,7 @@ def quantize_int4(w: jnp.ndarray):
 
 def _int4_matmul_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref,
                         *, n_k_blocks: int):
-    k_idx = pl.program_id(1)
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
@@ -87,12 +87,14 @@ def _int4_matmul_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref,
 
 
 def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
-                *, block_n: int = 512, block_k2: int = 256,
-                out_dtype=None) -> jnp.ndarray:
+                *, block_m: int = 256, block_n: int = 512,
+                block_k2: int = 256, out_dtype=None) -> jnp.ndarray:
     """x [.., K] @ dequant(packed [K/2, N], scale [N]) -> [.., N].
 
     HBM traffic per call ~= K*N/2 bytes (the packed weights); the nibble
-    unpack happens on the VPU against VMEM-resident blocks.
+    unpack happens on the VPU against VMEM-resident blocks. M is tiled too
+    (block_m) so long-prompt prefill (M = B*T in the thousands) stays
+    within the VMEM budget — decode (tiny M) runs a single M block.
     """
     out_dtype = out_dtype or x.dtype
     *lead, K = x.shape
@@ -107,30 +109,35 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         return b
 
     block_k2 = fit(K2, min(block_k2, K2))
+    bm = min(block_m, M)  # M tail handled by grid padding
     bn = min(block_n, N)  # N tail handled by grid padding
-    if K2 % block_k2:
-        # ragged K: fall back to the XLA formulation (correct, slower)
+    if K2 % block_k2 or M > 4 * block_m:
+        # ragged K -> XLA formulation (correct, slower). Also long-prompt
+        # prefill (large M = B*T): there the matmul is MXU-bound, the
+        # one-off weight unpack amortizes over thousands of rows, and the
+        # XLA dot avoids both the VMEM pressure and the much larger
+        # Mosaic compile of a many-M-block kernel.
         w = unpack_int4(packed, x.dtype)
         y = jnp.dot(x2, w) * scale.astype(x.dtype)[None, :]
         return y.reshape(*lead, N).astype(out_dtype)
 
     n_k = K2 // block_k2
-    grid = (pl.cdiv(N, bn), n_k)
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
 
     out = pl.pallas_call(
         functools.partial(_int4_matmul_kernel, n_k_blocks=n_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, block_k2), lambda n, k: (0, k)),
-            pl.BlockSpec((M, block_k2), lambda n, k: (0, k)),
-            pl.BlockSpec((block_k2, bn), lambda n, k: (k, n)),
-            pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+            pl.BlockSpec((bm, block_k2), lambda m, n, k: (m, k)),
+            pl.BlockSpec((bm, block_k2), lambda m, n, k: (m, k)),
+            pl.BlockSpec((block_k2, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n)),
         ],
-        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
-        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * K * N,
             bytes_accessed=K2 * N + 2 * M * K * x2.dtype.itemsize

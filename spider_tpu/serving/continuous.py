@@ -29,6 +29,9 @@ class _Request:
     future: Future
     slot: int = -1
     emitted: List[int] = dataclasses.field(default_factory=list)
+    # number of emitted tokens already folded into `ids` by preemption —
+    # keeps a twice-preempted request from double-counting its history
+    n_consumed: int = 0
 
 
 class ContinuousBatcher:
@@ -53,7 +56,9 @@ class ContinuousBatcher:
 
         self._requests: Dict[int, _Request] = {}
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._deferred: List[_Request] = []   # admission deferred (pool full)
         self._stop = False
+        self._dead = False
 
         pad = tokenizer.pad_token_id
 
@@ -75,6 +80,8 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------ API
     def submit(self, prompt: str) -> Future:
+        if self._dead:
+            raise RuntimeError("batcher serving loop has terminated")
         ids = list(self.tokenizer(prompt, add_special_tokens=True).input_ids)
         fut: Future = Future()
         self._queue.put(_Request(ids=ids, future=fut))
@@ -109,8 +116,13 @@ class ContinuousBatcher:
             self._prefill_cache[bucket] = prefill
         return self._prefill_cache[bucket]
 
+    def _remaining(self, req: _Request) -> int:
+        # budget left for a (possibly preempted-and-resumed) request; its
+        # prior emissions are part of req.ids by the time it is re-admitted
+        return self.max_new_tokens - len(req.emitted)
+
     def _admit(self, req: _Request, slot: int):
-        ids = req.ids[: self.max_len - self.max_new_tokens]
+        ids = req.ids[: self.max_len - self._remaining(req)]
         bucket = ((len(ids) + self.prefill_bucket - 1)
                   // self.prefill_bucket) * self.prefill_bucket
         arr = np.full((1, bucket), self.tokenizer.pad_token_id, np.int64)
@@ -129,9 +141,9 @@ class ContinuousBatcher:
         self.kv_len = self.kv_len.at[slot].set(len(ids))
         self.last_tok = self.last_tok.at[slot].set(int(tok0[0]))
         self.active[slot] = True
-        self.budget[slot] = self.max_new_tokens - 1  # tok0 already emitted
         req.slot = slot
-        req.emitted = [int(tok0[0])]
+        req.emitted.append(int(tok0[0]))
+        self.budget[slot] = self._remaining(req)
         self._requests[slot] = req
 
     def _finish(self, slot: int):
@@ -144,41 +156,82 @@ class ContinuousBatcher:
 
     # ----------------------------------------------------------------- loop
     def _loop(self):
+        try:
+            while not self._stop:
+                self._tick()
+        except Exception as exc:  # fail every pending future, don't hang them
+            self._dead = True
+            pending = list(self._requests.values()) + self._deferred
+            while True:
+                try:
+                    pending.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            for req in pending:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+
+    def _tick(self):
         eos = self.tokenizer.eos_token_id
-        while not self._stop:
-            # admit new requests into free slots
-            while not all(self.active):
+        # admit deferred-then-new requests into free slots; stop at the first
+        # request the pool can't hold yet (deferral instead of raising)
+        while not all(self.active):
+            if self._deferred:
+                req = self._deferred[0]
+                if not self._can_admit(req):
+                    break
+                self._deferred.pop(0)
+            else:
                 try:
                     req = self._queue.get_nowait()
                 except queue.Empty:
                     break
-                slot = int(np.argmin(self.active))
-                self._admit(req, slot)
-            if not self.active.any():
+                if not self._can_admit(req):
+                    self._deferred.append(req)
+                    break
+            slot = int(np.argmin(self.active))
+            self._admit(req, slot)
+        if not self.active.any():
+            if self._deferred:
+                # nothing running, so every pool page is free; if the head
+                # request STILL can't be admitted it can never fit — fail it
+                # instead of spinning forever
+                req = self._deferred[0]
+                if not self._can_admit(req):
+                    self._deferred.pop(0)
+                    req.future.set_exception(RuntimeError(
+                        "request can never fit in the paged KV pool "
+                        f"({len(req.ids)} prompt tokens)"))
+            else:
                 try:
-                    req = self._queue.get(timeout=0.05)
+                    self._deferred.append(self._queue.get(timeout=0.05))
                 except queue.Empty:
-                    continue
-                self._admit(req, int(np.argmin(self.active)))
-            # check finishes BEFORE stepping (first token may already be eos)
-            for slot in np.where(self.active)[0]:
-                req = self._requests[slot]
-                if req.emitted and (req.emitted[-1] == eos
-                                    or self.budget[slot] <= 0):
-                    self._finish(slot)
-            if not self.active.any():
-                continue
-            self._pre_step()
-            mask = jnp.asarray(self.active)
-            self.cache, self.kv_len, nxt = self._step(mask)
-            self.last_tok = nxt
-            toks = np.asarray(nxt)
-            for slot in np.where(self.active)[0]:
-                self._requests[slot].emitted.append(int(toks[slot]))
-                self.budget[slot] -= 1
+                    pass
+            return
+        # check finishes BEFORE stepping (first token may already be eos)
+        for slot in np.where(self.active)[0]:
+            req = self._requests[slot]
+            if req.emitted and (req.emitted[-1] == eos
+                                or self.budget[slot] <= 0):
+                self._finish(slot)
+        if not self.active.any():
+            return
+        self._pre_step()
+        if not self.active.any():   # _pre_step may preempt every slot
+            return
+        mask = jnp.asarray(self.active)
+        self.cache, self.kv_len, nxt = self._step(mask)
+        self.last_tok = nxt
+        toks = np.asarray(nxt)
+        for slot in np.where(self.active)[0]:
+            self._requests[slot].emitted.append(int(toks[slot]))
+            self.budget[slot] -= 1
 
     def _make_cache(self, cfg, num_slots, max_len):
         return init_kv_cache(cfg, num_slots, max_len)
+
+    def _can_admit(self, req: _Request) -> bool:
+        return True
 
     def _pre_step(self):
         pass
@@ -216,6 +269,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
         # host-managed page state
         self._free = list(range(1, n_blocks))
+        self.n_preempts = 0  # telemetry (and test hook)
         self._table = np.zeros((num_slots, self.max_pages), np.int32)
         self._n_alloc = np.zeros((num_slots,), np.int32)
         self._pool = init_paged_kv_cache(cfg, n_blocks, page)
@@ -272,8 +326,27 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._table[slot, logical] = self._free.pop()
         self._n_alloc[slot] = logical + 1
 
+    def _can_admit(self, req: _Request) -> bool:
+        ids_len = min(len(req.ids), self.max_len - self._remaining(req))
+        return len(self._free) >= -(-max(ids_len, 1) // self.page)
+
+    def _preempt(self, slot: int):
+        """Evict a slot mid-decode: free its pages and requeue the request
+        as a continuation prefill (prompt + tokens emitted so far). Called
+        on pool exhaustion instead of killing the serving loop."""
+        self.n_preempts += 1
+        req = self._requests.pop(slot)
+        n = int(self._n_alloc[slot])
+        self._free.extend(int(b) for b in self._table[slot, :n])
+        self._table[slot, :] = 0
+        self._n_alloc[slot] = 0
+        self.active[slot] = False
+        req.ids = req.ids + req.emitted[req.n_consumed:]
+        req.n_consumed = len(req.emitted)
+        self._deferred.append(req)
+
     def _admit(self, req: _Request, slot: int):
-        ids = req.ids[: self.max_len - self.max_new_tokens]
+        ids = req.ids[: self.max_len - self._remaining(req)]
         bucket = ((len(ids) + self.prefill_bucket - 1)
                   // self.prefill_bucket) * self.prefill_bucket
         bucket = max(bucket, self.page)
@@ -295,9 +368,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self.kv_len = self.kv_len.at[slot].set(len(ids))
         self.last_tok = self.last_tok.at[slot].set(int(tok0[0]))
         self.active[slot] = True
-        self.budget[slot] = self.max_new_tokens - 1
         req.slot = slot
-        req.emitted = [int(tok0[0])]
+        req.emitted.append(int(tok0[0]))
+        self.budget[slot] = self._remaining(req)
         self._requests[slot] = req
 
     def _finish(self, slot: int):
@@ -311,12 +384,24 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     def _pre_step(self):
         # the next token writes at position kv_len[s]: make sure its page
-        # exists before the device step
+        # exists before the device step. On pool exhaustion, preempt the
+        # youngest-allocated other slot (or this one) instead of raising —
+        # the evicted request re-prefills later as a continuation.
         lens = np.asarray(self.kv_len)
         for slot in np.where(self.active)[0]:
+            if not self.active[slot]:   # already preempted as a victim
+                continue
             logical = int(lens[slot]) // self.page
             if int(lens[slot]) % self.page == 0 and logical < self.max_pages:
-                self._alloc_page(slot, logical)
+                while not self._free:
+                    victims = [s for s in np.where(self.active)[0] if s != slot]
+                    victim = (max(victims, key=lambda s: self._n_alloc[s])
+                              if victims else slot)
+                    self._preempt(int(victim))
+                    if victim == slot:
+                        break
+                if self.active[slot]:
+                    self._alloc_page(slot, logical)
 
     def _step(self, mask):
         return self._paged_step(self.params, self.cache, self.kv_len,

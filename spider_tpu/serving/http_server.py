@@ -189,14 +189,28 @@ def make_handler(spider_free):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
             mm_kwargs = {}
-            if req.get("mm_understanding"):
-                # route uploads through the omni chat backbone too (the
-                # default Llama backbone is text-only and would refuse)
+            # Uploaded audio / video frames only make sense as understanding
+            # inputs, so they always route through the chat backbone (which
+            # raises if it is text-only — never silently dropped). Images stay
+            # decoder-side (MASK/BOX Meta_info via build_ask_info) unless the
+            # request explicitly opts into mm understanding.
+            if (req.get("mm_understanding") or req.get("audio")
+                    or req.get("video_frames")):
                 audios, images, videos = decode_mm_inputs(req)
+                if not req.get("mm_understanding"):
+                    images = None
                 mm_kwargs = dict(audios=audios, images=images, videos=videos)
-            events, answers, _, _ = spider_free.chat(
-                req.get("text", ""), extra_inputs=build_ask_info(req),
-                task_prompt=req.get("task", "TEXT"), **mm_kwargs)
+            try:
+                events, answers, _, _ = spider_free.chat(
+                    req.get("text", ""), extra_inputs=build_ask_info(req),
+                    task_prompt=req.get("task", "TEXT"), **mm_kwargs)
+            except ValueError as exc:   # e.g. text-only backbone + audio
+                body = json.dumps({"error": str(exc)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             body = json.dumps({
                 "answer": answers[0] if answers else "",
                 "events": [serialize_event(k, p) for k, p in events

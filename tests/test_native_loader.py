@@ -87,3 +87,33 @@ def test_native_reader_corrupt_size_errors(lib, tmp_path):
     src = NativeTarSource(str(tmp_path / "c.tar"), loop=False)
     with pytest.raises(RuntimeError):
         list(src)
+
+
+def test_native_reader_malformed_pax_record_errors(lib, tmp_path):
+    """A PAX record whose declared length is smaller than its own "len "
+    prefix must surface as an error, not underflow the record-length
+    arithmetic (ADVICE r2: size_t underflow -> std::length_error in a
+    worker thread terminated the whole process)."""
+    (tmp_path / "p.tar").write_bytes(b"")
+    with tarfile.open(tmp_path / "p.tar", "w", format=tarfile.PAX_FORMAT) as tf:
+        for ext in ("txt", "json"):
+            payload = b"x" if ext == "txt" else b'{"a": 3}'
+            info = tarfile.TarInfo(f"{'n' * 120}.{ext}")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    raw = bytearray((tmp_path / "p.tar").read_bytes())
+    # locate the first PAX extended-header body (follows the 'x' typeflag
+    # block) and corrupt its leading record: "NN key=..." -> "2  key=..."
+    # (declared len 2 < prefix length 3 -> must be rejected)
+    for off in range(0, len(raw), 512):
+        if raw[off + 156] == ord("x"):
+            body = off + 512
+            sp = raw.index(b" ", body)
+            raw[body:sp] = b"2".ljust(sp - body)
+            break
+    else:
+        pytest.skip("no PAX header found")
+    (tmp_path / "p.tar").write_bytes(bytes(raw))
+    src = NativeTarSource(str(tmp_path / "p.tar"), loop=False)
+    with pytest.raises(RuntimeError):
+        list(src)

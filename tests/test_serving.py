@@ -244,3 +244,78 @@ def test_paged_continuous_batcher_matches_standalone():
                    if int(t) != tok.pad_token_id]
         want = tok.decode(ref_ids, skip_special_tokens=True)
         assert got == want, (prompt, got, want)
+
+
+def test_paged_batcher_pool_exhaustion_preempts_not_hangs():
+    """Oversubscribed paged pool: mid-decode page growth exhausts the pool.
+    The batcher must preempt + resume (continuation prefill) instead of
+    killing the serving loop (ADVICE r2: exhaustion raised inside _loop and
+    hung every future). Results must still match standalone greedy."""
+    import jax
+    import jax.numpy as jnp
+
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.decode import GenerateConfig, generate
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.serving.continuous import PagedContinuousBatcher
+
+    cfg = L.llama_tiny(vocab_size=300)
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    tok = TinyTokenizer()
+    # prompts prefill into 3+4 pages, filling the 7-block pool exactly; the
+    # first page-boundary crossing then finds no free block -> must preempt.
+    # Drive ticks manually (serving thread stopped) so both requests are
+    # admitted in the same tick — deterministic exhaustion.
+    cb = PagedContinuousBatcher(model, params, tok, num_slots=2, max_len=48,
+                                max_new_tokens=12, prefill_bucket=8, page=8,
+                                num_blocks=7)
+    cb._stop = True
+    cb._thread.join(timeout=10)
+    prompts = ["one two three four five", "six seven eight nine ten",
+               "short tail"]
+    futs = [cb.submit(p) for p in prompts]
+    for _ in range(400):
+        if all(f.done() for f in futs):
+            break
+        cb._tick()
+    outs = [f.result(timeout=0) for f in futs]
+    assert sorted(cb._free) == list(range(1, 8))  # pool fully drains
+    assert cb.n_preempts > 0  # the exhaustion path actually fired
+
+    for prompt, got in zip(prompts, outs):
+        ids = tok(prompt, add_special_tokens=True).input_ids
+        emb = model.apply(params, jnp.asarray([ids], jnp.int32),
+                          method=model.embed)
+        ref = generate(model, params, emb, jnp.asarray([len(ids)], jnp.int32),
+                       GenerateConfig(max_new_tokens=12,
+                                      eos_ids=(tok.eos_token_id,),
+                                      pad_id=tok.pad_token_id))
+        ref_ids = [int(t) for t in np.asarray(ref["tokens"][0])
+                   if int(t) != tok.pad_token_id]
+        want = tok.decode(ref_ids, skip_special_tokens=True)
+        assert got == want, (prompt, got, want)
+
+
+def test_paged_batcher_impossible_request_fails_fast():
+    """A prompt that can never fit in the pool gets a RuntimeError on its
+    future instead of spinning the loop forever."""
+    import jax
+    import jax.numpy as jnp
+
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.serving.continuous import PagedContinuousBatcher
+
+    cfg = L.llama_tiny(vocab_size=300)
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    tok = TinyTokenizer()
+    cb = PagedContinuousBatcher(model, params, tok, num_slots=1, max_len=32,
+                                max_new_tokens=4, prefill_bucket=4, page=4,
+                                num_blocks=1)
+    fut = cb.submit("a prompt long enough to need three pages at page four "
+                    "which can never fit")
+    with pytest.raises(RuntimeError, match="never fit"):
+        fut.result(timeout=120)
+    cb.close()
