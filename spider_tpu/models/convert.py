@@ -706,10 +706,10 @@ def convert_hifigan_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
 # ---------------------------------------------------------------------------
 
 def _conv3d_t(w) -> np.ndarray:
-    """torch Conv3d [out, in, 3, 1, 1] (temporal-only kernel) -> flax 1D
-    conv [3, in, out]."""
+    """torch Conv3d [out, in, 3, 1, 1] (temporal-only kernel) -> flax (3, 1)
+    conv [3, 1, in, out] (unet3d.TemporalConv's [B, F, H*W, C] layout)."""
     w = np.asarray(w, np.float32)
-    return w[:, :, :, 0, 0].transpose(2, 1, 0)
+    return w[:, :, :, :, 0].transpose(2, 3, 1, 0)
 
 
 def _temporal_conv(sd, pre):
@@ -955,3 +955,97 @@ def convert_grounding_dino_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
     p["enc_box_head"] = _box_mlp(sd,
                                  f"bbox_head.reg_branches.{cfg.dec_layers}")
     return {"params": _to_jnp(p)}
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-Omni thinker (transformers qwen2_5_omni) -> spider_tpu flax
+# ---------------------------------------------------------------------------
+
+def _conv1d_k(w) -> np.ndarray:
+    """torch Conv1d [out, in, K] -> flax [K, in, out]."""
+    return np.asarray(w, np.float32).transpose(2, 1, 0)
+
+
+def convert_omni_audio_tower(sd: Dict[str, np.ndarray], cfg,
+                             prefix: str = "audio_tower.") -> Dict:
+    """Qwen2_5OmniAudioEncoder weights -> models/qwen_omni.OmniAudioEncoder.
+
+    Source naming: modeling_qwen2_5_omni.py Qwen2_5OmniAudioEncoder
+    (conv1/conv2, layers.N.self_attn.{q,k,v,out}_proj + *_layer_norm +
+    fc1/fc2, ln_post, proj). The sinusoidal positional table is a
+    non-persistent buffer (recomputed), and audio_bos_eos_token is unused
+    at inference — both intentionally absent here."""
+    g = lambda k: prefix + k
+    p = {
+        "conv1": {"kernel": _conv1d_k(sd[g("conv1.weight")]),
+                  "bias": np.asarray(sd[g("conv1.bias")], np.float32)},
+        "conv2": {"kernel": _conv1d_k(sd[g("conv2.weight")]),
+                  "bias": np.asarray(sd[g("conv2.bias")], np.float32)},
+        "ln_post": _gn(sd, g("ln_post")),
+        "proj": _d(sd, g("proj")),
+    }
+    for i in range(cfg.num_layers):
+        b = g(f"layers.{i}")
+        p[f"layer_{i}"] = {
+            "self_attn_layer_norm": _gn(sd, f"{b}.self_attn_layer_norm"),
+            "final_layer_norm": _gn(sd, f"{b}.final_layer_norm"),
+            "self_attn": {
+                "q_proj": _d(sd, f"{b}.self_attn.q_proj"),
+                "k_proj": _d(sd, f"{b}.self_attn.k_proj"),
+                "v_proj": _d(sd, f"{b}.self_attn.v_proj"),
+                "out_proj": _d(sd, f"{b}.self_attn.out_proj"),
+            },
+            "fc1": _d(sd, f"{b}.fc1"),
+            "fc2": _d(sd, f"{b}.fc2"),
+        }
+    return {"params": _to_jnp(p)}
+
+
+def convert_omni_vision_tower(sd: Dict[str, np.ndarray], cfg,
+                              prefix: str = "visual.") -> Dict:
+    """Qwen2_5OmniVisionEncoder weights -> models/qwen_omni.OmniVisionEncoder.
+
+    Source naming: patch_embed.proj (bias-free Conv3d, flattened to a
+    Dense over (C, tp, p, p) patch vectors), blocks.N.{norm1,norm2}
+    (RMSNorm), blocks.N.attn.{q,k,v,proj}, blocks.N.mlp.{gate,up,down}_proj,
+    merger.{ln_q,mlp.0,mlp.2}."""
+    g = lambda k: prefix + k
+    w = np.asarray(sd[g("patch_embed.proj.weight")], np.float32)
+    p = {
+        "patch_embed": {"kernel": w.reshape(w.shape[0], -1).T},
+        "ln_q": np.asarray(sd[g("merger.ln_q.weight")], np.float32),
+        "merge_fc1": _d(sd, g("merger.mlp.0")),
+        "merge_fc2": _d(sd, g("merger.mlp.2")),
+    }
+    for i in range(cfg.depth):
+        b = g(f"blocks.{i}")
+        p[f"block_{i}"] = {
+            "norm1": np.asarray(sd[f"{b}.norm1.weight"], np.float32),
+            "norm2": np.asarray(sd[f"{b}.norm2.weight"], np.float32),
+            "attn": {
+                "q": _d(sd, f"{b}.attn.q"),
+                "k": _d(sd, f"{b}.attn.k"),
+                "v": _d(sd, f"{b}.attn.v"),
+                "proj": _d(sd, f"{b}.attn.proj"),
+            },
+            "mlp_gate": _d(sd, f"{b}.mlp.gate_proj"),
+            "mlp_up": _d(sd, f"{b}.mlp.up_proj"),
+            "mlp_down": _d(sd, f"{b}.mlp.down_proj"),
+        }
+    return {"params": _to_jnp(p)}
+
+
+def convert_omni_thinker(sd: Dict[str, np.ndarray], audio_cfg, vision_cfg,
+                         llm_cfg):
+    """Full thinker state dict (audio_tower.* + visual.* + model.* +
+    lm_head.*) -> (audio_params, vision_params, llm_params). Accepts both
+    bare-thinker checkpoints and full-Omni ones ('thinker.'-prefixed)."""
+    if any(k.startswith("thinker.") for k in sd):
+        sd = {k[len("thinker."):]: v for k, v in sd.items()
+              if k.startswith("thinker.")}
+    aparams = convert_omni_audio_tower(sd, audio_cfg)
+    vparams = convert_omni_vision_tower(sd, vision_cfg)
+    lparams = convert_llama_state_dict(
+        {k: v for k, v in sd.items()
+         if k.startswith(("model.", "lm_head."))}, llm_cfg)
+    return aparams, vparams, lparams

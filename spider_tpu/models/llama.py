@@ -64,6 +64,11 @@ class LlamaConfig:
     quantization: Optional[str] = None
     # Qwen2-family: bias on q/k/v projections (o/mlp stay bias-free).
     attention_bias: bool = False
+    # Qwen2-VL / Qwen2.5-Omni multimodal 3-D RoPE: per-frequency split of
+    # head_dim/2 across (temporal, height, width) position streams. When set,
+    # `positions` may be [3, B, T]; plain [B, T] positions are broadcast to
+    # all three streams (exactly standard RoPE for text).
+    mrope_section: Optional[Tuple[int, ...]] = None
     # Context parallelism: shard the sequence over this mesh axis and run
     # ring attention for the (cache-free) training forward. Set via
     # `with_context_parallel(mesh)`.
@@ -250,8 +255,14 @@ class LlamaAttention(nn.Module):
         v = proj("v_proj", Hkv * D, qkv_bias)(x).reshape(B, T, Hkv, D)
 
         inv_freq = rope_inv_freq(D, cfg.rope_theta, cfg.rope_scaling)
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
+        if cfg.mrope_section is not None and jnp.ndim(positions) == 3:
+            from spider_tpu.ops.rope import apply_mrope
+
+            q = apply_mrope(q, positions, inv_freq, cfg.mrope_section)
+            k = apply_mrope(k, positions, inv_freq, cfg.mrope_section)
+        else:
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
 
         new_cache = None
         if kv_cache is not None and page_table is not None:

@@ -60,7 +60,14 @@ def _unfold_frames(x, bf):
 
 class TemporalConv(nn.Module):
     """diffusers TemporalConvLayer: 4 x (GroupNorm -> SiLU -> conv over F),
-    residual, last conv zero-init (identity at init)."""
+    residual, last conv zero-init (identity at init).
+
+    Runs in [B, F, H*W, C] layout with a (3, 1) conv over (F, pixels) — no
+    pixel-major transposes (two ~60 MB HBM round-trips per block at the
+    ZeroScope level-0 shape), and GroupNorm statistics reduce over
+    (F, H, W, C/g) per batch sample, matching torch GroupNorm on
+    [B, C, F, H, W] exactly (the transposed per-pixel layout silently
+    normalized per (b,h,w) over (F, C/g))."""
 
     channels: int
     groups: int
@@ -69,22 +76,26 @@ class TemporalConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, F, H, W, C = x.shape
-        h = x.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, C)
+        h = x.reshape(B, F, H * W, C)
         for i in range(1, 5):
             h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                              dtype=self.dtype, name=f"norm{i}")(h)
             h = nn.silu(h)
             init = nn.initializers.zeros if i == 4 \
                 else nn.initializers.lecun_normal()
-            h = nn.Conv(self.channels, (3,), padding=1, dtype=self.dtype,
-                        kernel_init=init, name=f"conv{i}")(h)
-        h = h.reshape(B, H, W, F, C).transpose(0, 3, 1, 2, 4)
-        return x + h
+            h = nn.Conv(self.channels, (3, 1), padding=((1, 1), (0, 0)),
+                        dtype=self.dtype, kernel_init=init,
+                        name=f"conv{i}")(h)
+        return x + h.reshape(B, F, H, W, C)
 
 
 class TemporalBasicBlock(nn.Module):
     """BasicTransformerBlock over the frame axis (attn1 + attn2 both
-    self-attention here — diffusers passes no temporal context)."""
+    self-attention here — diffusers passes no temporal context).
+
+    Input is [B, F, P, C] (pixels stay in place); frame-axis attention is
+    an einsum with per-pixel [F, F] logits — F is tiny (16), so the logits
+    are small and no pixel-major transpose is ever materialized."""
 
     heads: int
     dtype: Any
@@ -92,16 +103,23 @@ class TemporalBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, h):
         C = h.shape[-1]
+        nh = self.heads
+        d = C // nh
 
         def attn(name, x):
+            B, F, P, _ = x.shape
             q = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f"{name}_q")(x)
+                         name=f"{name}_q")(x).reshape(B, F, P, nh, d)
             k = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f"{name}_k")(x)
+                         name=f"{name}_k")(x).reshape(B, F, P, nh, d)
             v = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f"{name}_v")(x)
+                         name=f"{name}_v")(x).reshape(B, F, P, nh, d)
+            logits = jnp.einsum("bfphd,bgphd->bphfg", q, k)
+            logits = logits.astype(jnp.float32) / (d ** 0.5)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bphfg,bgphd->bfphd", probs, v)
             return nn.Dense(C, dtype=self.dtype, name=f"{name}_out")(
-                _attention(q, k, v, self.heads))
+                out.reshape(B, F, P, C))
 
         h = h + attn("attn1", nn.LayerNorm(dtype=self.dtype, name="norm1")(h))
         h = h + attn("attn2", nn.LayerNorm(dtype=self.dtype, name="norm2")(h))
@@ -114,7 +132,9 @@ class TemporalBasicBlock(nn.Module):
 
 class TransformerTemporal(nn.Module):
     """diffusers TransformerTemporalModel: GroupNorm -> proj_in -> blocks
-    over frames -> proj_out, residual."""
+    over frames -> proj_out, residual. Runs in [B, F, H*W, C] layout (see
+    TemporalBasicBlock); GroupNorm reduces over (F, H, W, C/g) per batch
+    sample, matching torch GroupNorm on the [B, C, F, H, W] view."""
 
     heads: int
     groups: int
@@ -125,7 +145,7 @@ class TransformerTemporal(nn.Module):
     def __call__(self, x):
         B, F, H, W, C = x.shape
         residual = x
-        h = x.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, C)
+        h = x.reshape(B, F, H * W, C)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm")(h)
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
@@ -133,8 +153,7 @@ class TransformerTemporal(nn.Module):
             h = TemporalBasicBlock(self.heads, self.dtype,
                                    name=f"block_{i}")(h)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
-        h = h.reshape(B, H, W, F, C).transpose(0, 3, 1, 2, 4)
-        return residual + h
+        return residual + h.reshape(B, F, H, W, C)
 
 
 class UNet3DConditionModel(nn.Module):

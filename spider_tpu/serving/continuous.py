@@ -37,7 +37,8 @@ class _Request:
 class ContinuousBatcher:
     def __init__(self, model: LlamaForCausalLM, params, tokenizer,
                  num_slots: int = 8, max_len: int = 1024,
-                 max_new_tokens: int = 128, prefill_bucket: int = 128):
+                 max_new_tokens: int = 128, prefill_bucket: int = 128,
+                 decode_steps: int = 8):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -45,6 +46,13 @@ class ContinuousBatcher:
         self.max_len = max_len
         self.max_new_tokens = max_new_tokens
         self.prefill_bucket = prefill_bucket
+        # tokens decoded per device dispatch (a lax.scan inside one jit):
+        # host dispatch through the axon relay costs ~30 ms/tick, which caps
+        # one-token-per-tick serving at ~124 tok/s/chip regardless of
+        # occupancy; an 8-step on-device chunk amortizes it 8x. Requests
+        # join/finish at chunk boundaries (over-decoded tokens past eos or
+        # budget are discarded host-side, preserving greedy parity).
+        self.decode_steps = decode_steps
         cfg = model.config
 
         # persistent device state
@@ -61,17 +69,34 @@ class ContinuousBatcher:
         self._dead = False
 
         pad = tokenizer.pad_token_id
+        eos = tokenizer.eos_token_id
+        n_inner = self.decode_steps
 
         @jax.jit
         def decode_step(params, cache, kv_len, last_tok, active_mask):
-            emb = model.apply(params, last_tok[:, None], method=model.embed)
-            logits, _, cache = model.apply(
-                params, inputs_embeds=emb, positions=kv_len[:, None],
-                kv_write_index=kv_len, kv_cache=cache, kv_len=kv_len + 1)
-            nxt = greedy(logits[:, -1])
-            nxt = jnp.where(active_mask, nxt, pad)
-            kv_len = kv_len + active_mask.astype(kv_len.dtype)
-            return cache, kv_len, nxt
+            """Decode `n_inner` tokens per dispatch via lax.scan. Slots that
+            emit eos mid-chunk go dead (emit pad, kv_len frozen); their
+            stale-position KV rewrites are never attended after reuse
+            (prefill re-splices from 0, attention masks by kv_len)."""
+
+            def inner(carry, _):
+                cache, kv_len, last_tok, alive = carry
+                emb = model.apply(params, last_tok[:, None],
+                                  method=model.embed)
+                logits, _, cache = model.apply(
+                    params, inputs_embeds=emb, positions=kv_len[:, None],
+                    kv_write_index=kv_len, kv_cache=cache, kv_len=kv_len + 1)
+                nxt = greedy(logits[:, -1])
+                nxt = jnp.where(alive, nxt, pad)
+                kv_len = kv_len + alive.astype(kv_len.dtype)
+                last_tok = jnp.where(alive, nxt, last_tok)
+                alive = jnp.logical_and(alive, nxt != eos)
+                return (cache, kv_len, last_tok, alive), nxt
+
+            (cache, kv_len, last_tok, _), toks = jax.lax.scan(
+                inner, (cache, kv_len, last_tok, active_mask), None,
+                length=n_inner)
+            return cache, kv_len, last_tok, toks.T   # [S, n_inner]
 
         self._decode_step = decode_step
         self._prefill_cache: Dict[int, callable] = {}
@@ -178,6 +203,12 @@ class ContinuousBatcher:
         while not all(self.active):
             if self._deferred:
                 req = self._deferred[0]
+                if not self._feasible(req):
+                    self._deferred.pop(0)
+                    req.future.set_exception(RuntimeError(
+                        "request can never fit in the paged KV pool "
+                        f"({len(req.ids)} prompt tokens)"))
+                    continue
                 if not self._can_admit(req):
                     break
                 self._deferred.pop(0)
@@ -186,6 +217,11 @@ class ContinuousBatcher:
                     req = self._queue.get_nowait()
                 except queue.Empty:
                     break
+                if not self._feasible(req):
+                    req.future.set_exception(RuntimeError(
+                        "request can never fit in the paged KV pool "
+                        f"({len(req.ids)} prompt tokens)"))
+                    continue
                 if not self._can_admit(req):
                     self._deferred.append(req)
                     break
@@ -197,7 +233,7 @@ class ContinuousBatcher:
                 # request STILL can't be admitted it can never fit — fail it
                 # instead of spinning forever
                 req = self._deferred[0]
-                if not self._can_admit(req):
+                if not self._can_admit(req) or not self._feasible(req):
                     self._deferred.pop(0)
                     req.future.set_exception(RuntimeError(
                         "request can never fit in the paged KV pool "
@@ -220,17 +256,27 @@ class ContinuousBatcher:
         if not self.active.any():   # _pre_step may preempt every slot
             return
         mask = jnp.asarray(self.active)
-        self.cache, self.kv_len, nxt = self._step(mask)
-        self.last_tok = nxt
-        toks = np.asarray(nxt)
+        self.cache, self.kv_len, self.last_tok, chunk = self._step(mask)
+        toks = np.asarray(chunk)                       # [S, decode_steps]
         for slot in np.where(self.active)[0]:
-            self._requests[slot].emitted.append(int(toks[slot]))
-            self.budget[slot] -= 1
+            req = self._requests[slot]
+            for t in toks[slot]:
+                if self.budget[slot] <= 0:
+                    break                              # over-decode discarded
+                req.emitted.append(int(t))
+                self.budget[slot] -= 1
+                if int(t) == eos:
+                    break
 
     def _make_cache(self, cfg, num_slots, max_len):
         return init_kv_cache(cfg, num_slots, max_len)
 
     def _can_admit(self, req: _Request) -> bool:
+        return True
+
+    def _feasible(self, req: _Request) -> bool:
+        """Whether the pool can hold this request over its whole lifetime
+        (admission check — prevents a mid-decode self-preempt livelock)."""
         return True
 
     def _pre_step(self):
@@ -265,6 +311,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # page-table rows route those writes to block 0 — it must never be
         # allocated or a live slot's page would be corrupted mid-stream.
         n_blocks = (num_blocks or num_slots * self.max_pages) + 1
+        self._n_blocks = n_blocks
         cfg = model.config
 
         # host-managed page state
@@ -278,18 +325,30 @@ class PagedContinuousBatcher(ContinuousBatcher):
                          max_len=max_len, max_new_tokens=max_new_tokens,
                          prefill_bucket=prefill_bucket)
         pad = tokenizer.pad_token_id
+        eos = tokenizer.eos_token_id
+        n_inner = self.decode_steps
 
         @jax.jit
         def paged_step(params, cache, kv_len, last_tok, active_mask, table):
-            emb = model.apply(params, last_tok[:, None], method=model.embed)
-            logits, _, cache = model.apply(
-                params, inputs_embeds=emb, positions=kv_len[:, None],
-                kv_write_index=kv_len, kv_cache=cache, kv_len=kv_len + 1,
-                page_table=table)
-            nxt = greedy(logits[:, -1])
-            nxt = jnp.where(active_mask, nxt, pad)
-            kv_len = kv_len + active_mask.astype(kv_len.dtype)
-            return cache, kv_len, nxt
+            def inner(carry, _):
+                cache, kv_len, last_tok, alive = carry
+                emb = model.apply(params, last_tok[:, None],
+                                  method=model.embed)
+                logits, _, cache = model.apply(
+                    params, inputs_embeds=emb, positions=kv_len[:, None],
+                    kv_write_index=kv_len, kv_cache=cache, kv_len=kv_len + 1,
+                    page_table=table)
+                nxt = greedy(logits[:, -1])
+                nxt = jnp.where(alive, nxt, pad)
+                kv_len = kv_len + alive.astype(kv_len.dtype)
+                last_tok = jnp.where(alive, nxt, last_tok)
+                alive = jnp.logical_and(alive, nxt != eos)
+                return (cache, kv_len, last_tok, alive), nxt
+
+            (cache, kv_len, last_tok, _), toks = jax.lax.scan(
+                inner, (cache, kv_len, last_tok, active_mask), None,
+                length=n_inner)
+            return cache, kv_len, last_tok, toks.T
 
         self._paged_step = paged_step
 
@@ -329,6 +388,13 @@ class PagedContinuousBatcher(ContinuousBatcher):
     def _can_admit(self, req: _Request) -> bool:
         ids_len = min(len(req.ids), self.max_len - self._remaining(req))
         return len(self._free) >= -(-max(ids_len, 1) // self.page)
+
+    def _feasible(self, req: _Request) -> bool:
+        # lifetime worst case: prompt + full budget (trunc keeps it <= max_len)
+        ids_len = min(len(req.ids), self.max_len - self._remaining(req))
+        worst = min(ids_len + self._remaining(req), self.max_len)
+        total = self._n_blocks - 1   # block 0 = reserved scratch
+        return total >= -(-max(worst, 1) // self.page)
 
     def _preempt(self, slot: int):
         """Evict a slot mid-decode: free its pages and requeue the request
@@ -383,25 +449,33 @@ class PagedContinuousBatcher(ContinuousBatcher):
         super()._finish(slot)
 
     def _pre_step(self):
-        # the next token writes at position kv_len[s]: make sure its page
-        # exists before the device step. On pool exhaustion, preempt the
-        # youngest-allocated other slot (or this one) instead of raising —
-        # the evicted request re-prefills later as a continuation.
+        # the coming chunk writes positions kv_len[s] .. kv_len[s]+k-1 where
+        # k = min(decode_steps, budget[s]) (tokens past budget are discarded
+        # host-side, so their lost writes never matter): make sure every
+        # covering page exists before the device dispatch. On pool
+        # exhaustion, preempt the largest-allocated other slot (frees the
+        # most pages) — the evicted request re-prefills later as a
+        # continuation. A slot only self-preempts when infeasible, which
+        # admission (_feasible) already rejects.
         lens = np.asarray(self.kv_len)
         for slot in np.where(self.active)[0]:
             if not self.active[slot]:   # already preempted as a victim
                 continue
-            logical = int(lens[slot]) // self.page
-            if int(lens[slot]) % self.page == 0 and logical < self.max_pages:
+            k = max(1, min(self.decode_steps, int(self.budget[slot])))
+            last_logical = min((int(lens[slot]) + k - 1) // self.page,
+                               self.max_pages - 1)
+            for logical in range(int(self._n_alloc[slot]), last_logical + 1):
                 while not self._free:
-                    victims = [s for s in np.where(self.active)[0] if s != slot]
+                    victims = [s for s in np.where(self.active)[0]
+                               if s != slot and self.active[s]]
                     victim = (max(victims, key=lambda s: self._n_alloc[s])
                               if victims else slot)
                     self._preempt(int(victim))
                     if victim == slot:
                         break
-                if self.active[slot]:
-                    self._alloc_page(slot, logical)
+                if not self.active[slot]:
+                    break
+                self._alloc_page(slot, logical)
 
     def _step(self, mask):
         return self._paged_step(self.params, self.cache, self.kv_len,

@@ -56,6 +56,7 @@ def _emit_vae_attn(sd, torch_pre, p):
     _emit_module(sd, torch_pre + ".to_out.0", p["proj_out"])
 
 
+@pytest.mark.slow
 def test_vae_converter_roundtrip():
     cfg = vae_tiny()
     model = AutoencoderKL(cfg)
@@ -125,6 +126,7 @@ def _emit_unet_attn(sd, pre, p, depth):
         _emit_tfm_block(sd, f"{pre}.transformer_blocks.{k}", p[f"block_{k}"])
 
 
+@pytest.mark.slow
 def test_unet2d_converter_roundtrip():
     cfg = unet_tiny()
     model = UNet2DConditionModel(cfg)
@@ -179,6 +181,7 @@ def test_unet2d_converter_roundtrip():
                                    err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_sam_converter_roundtrip():
     from spider_tpu.models.convert import convert_sam_state_dict
     from spider_tpu.models.sam import Sam, sam_tiny
@@ -320,6 +323,7 @@ def test_imagebind_converter_roundtrip():
                                    err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_swin_converter_roundtrip():
     from spider_tpu.models.convert import convert_swin_state_dict
     from spider_tpu.models.swin import SwinTransformer, swin_test
@@ -426,9 +430,9 @@ def _emit_temporal_conv(sd, pre, p):
     for i in range(1, 5):
         conv_idx = 2 if i == 1 else 3
         _emit_module(sd, f"{pre}.conv{i}.0", p[f"norm{i}"])
-        kern = np.asarray(p[f"conv{i}"]["kernel"])  # [3, in, out]
+        kern = np.asarray(p[f"conv{i}"]["kernel"])  # [3, 1, in, out]
         sd[f"{pre}.conv{i}.{conv_idx}.weight"] = \
-            kern.transpose(2, 1, 0)[:, :, :, None, None]
+            kern.transpose(3, 2, 0, 1)[:, :, :, :, None]
         sd[f"{pre}.conv{i}.{conv_idx}.bias"] = np.asarray(p[f"conv{i}"]["bias"])
 
 
@@ -449,6 +453,7 @@ def _emit_temporal_transformer(sd, pre, p, depth=1):
         _emit_module(sd, f"{b}.ff.net.2", blk["ff_proj_out"])
 
 
+@pytest.mark.slow
 def test_unet3d_converter_roundtrip():
     from spider_tpu.models.convert import convert_unet3d_state_dict
     from spider_tpu.models.unet3d import UNet3DConditionModel, unet3d_tiny
@@ -554,6 +559,7 @@ def test_clap_converter_roundtrip():
                                    err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_grounding_dino_converter_roundtrip():
     from spider_tpu.models.convert import convert_grounding_dino_state_dict
     from spider_tpu.models.dino import GroundingDINO, grounding_dino_test

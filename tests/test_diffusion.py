@@ -112,6 +112,7 @@ def test_sdxl_added_cond():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_tiny_sd_pipeline_end_to_end():
     pipe = build_tiny_sd()
     embeds = pipe(prompt=["an apple"], return_prompts_only=True)

@@ -91,6 +91,7 @@ def test_grounding_dino_forward(dino):
     assert (s >= 0).all() and (s <= 1).all()
 
 
+@pytest.mark.slow
 def test_inference_detector_contract(dino):
     cfg, model, params = dino
     tok = TinyTokenizer()

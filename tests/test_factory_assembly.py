@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_build_default_decoders_includes_grounding():
     from spider_decoder_infer import build_default_decoders
 
@@ -27,6 +28,7 @@ def test_build_default_decoders_includes_grounding():
     assert mask.ndim >= 2
 
 
+@pytest.mark.slow
 def test_spider_decoder_box_mask_end_to_end():
     """Controller chain: tagged text -> DINO box -> SAM mask."""
     from spider_decoder_infer import build_default_decoders
@@ -53,6 +55,7 @@ def test_spider_decoder_box_mask_end_to_end():
     assert "MASK" in predictions and "BOX" in predictions
 
 
+@pytest.mark.slow
 def test_demo_config_checkpoint_selection(tmp_path):
     import jax.numpy as jnp
     import orbax.checkpoint as ocp

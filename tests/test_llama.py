@@ -30,6 +30,7 @@ def test_forward_shapes_and_hidden_states(tiny_model):
     np.testing.assert_allclose(np.asarray(hidden[0]), np.asarray(emb), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_kv_cache_decode_matches_full_forward(tiny_model):
     cfg, model, params = tiny_model
     B, T = 2, 7
@@ -185,6 +186,7 @@ def test_gradcam_overlay():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_remat_flag_matches_forward_and_grads():
     import dataclasses
 

@@ -30,6 +30,7 @@ def test_top2_gating_combines_two_experts():
     assert float(combine.sum()) == pytest.approx(1.0, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_moe_local_forward_and_grads():
     cfg = MoEConfig(num_experts=4, d_model=16, d_ff=32, capacity_factor=2.0)
     params = init_moe_params(cfg, jax.random.PRNGKey(0))
@@ -46,6 +47,7 @@ def test_moe_local_forward_and_grads():
                for v in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_expert_parallel_matches_local_when_no_drops():
     cfg = MoEConfig(num_experts=4, d_model=16, d_ff=32, capacity_factor=8.0)
     params = init_moe_params(cfg, jax.random.PRNGKey(0))

@@ -154,6 +154,7 @@ def test_gpipe_matches_sequential():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_context_parallel_llama_forward_matches():
     """Llama forward with ring attention over a context axis == plain."""
     import dataclasses
@@ -173,6 +174,7 @@ def test_context_parallel_llama_forward_matches():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_moe_llama_trains_with_ep_sharding(mesh):
     """MoE-FFN Llama: experts sharded over the expert axis, aux loss in the
     objective, loss reduces."""

@@ -4,6 +4,7 @@ these tests exercise the packing math and the XLA reference path the kernel
 is verified against on-chip (see ops/quant.py module docstring for the
 measured TPU numbers and the VPU-unpack tradeoff)."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -57,6 +58,7 @@ def test_llama_int4_forward_runs():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_llama_int4_decode_matches_forward():
     """KV-cache decode over int4 weights is consistent with the full
     forward (same argmax path)."""

@@ -25,6 +25,7 @@ def test_ring_matches_full_attention(mesh, causal):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_gqa(mesh):
     B, T, Hq, Hkv, D = 1, 32, 4, 2, 8
     q = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D))
@@ -36,6 +37,7 @@ def test_ring_gqa(mesh):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_differentiable(mesh):
     B, T, H, D = 1, 32, 2, 8
     q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))

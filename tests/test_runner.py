@@ -17,6 +17,7 @@ def cfg():
                                         "train_configs", "spider_demo_train.py"))
 
 
+@pytest.mark.slow
 def test_task_builds_model_and_datasets(cfg):
     from spider_tpu import tasks
 
@@ -28,6 +29,7 @@ def test_task_builds_model_and_datasets(cfg):
     assert model.model_name == "spider"
 
 
+@pytest.mark.slow
 def test_runner_trains_and_checkpoints(cfg, tmp_path):
     from spider_tpu import tasks
 
@@ -60,6 +62,7 @@ def test_runner_trains_and_checkpoints(cfg, tmp_path):
     np.testing.assert_allclose(flat1, flat2)
 
 
+@pytest.mark.slow
 def test_runner_eval_split(cfg, tmp_path):
     from spider_tpu import tasks
 

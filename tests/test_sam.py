@@ -16,6 +16,7 @@ def sam():
     return cfg, model, params
 
 
+@pytest.mark.slow
 def test_sam_box_prompt(sam):
     cfg, model, params = sam
     images = jax.random.normal(jax.random.PRNGKey(1),
@@ -35,6 +36,7 @@ def test_sam_text_prompt(sam):
     assert masks.shape[0:2] == (1, 1)
 
 
+@pytest.mark.slow
 def test_mask_decoder_trainable_only(sam):
     cfg, model, params = sam
     images = jnp.zeros((1, 3, cfg.img_size, cfg.img_size))

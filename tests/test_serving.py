@@ -104,6 +104,7 @@ def test_spider_inference_api():
     assert len(answers) == 1
 
 
+@pytest.mark.slow
 def test_llm_batcher_batches_and_answers():
     import concurrent.futures
 
@@ -170,6 +171,7 @@ def test_http_server_image_input_reaches_decoders(decoder_cfg):
     server.shutdown()
 
 
+@pytest.mark.slow
 def test_continuous_batcher_matches_standalone():
     import jax
     import jax.numpy as jnp
@@ -205,6 +207,7 @@ def test_continuous_batcher_matches_standalone():
         assert got == want, (prompt, got, want)
 
 
+@pytest.mark.slow
 def test_paged_continuous_batcher_matches_standalone():
     """Greedy parity of the block-paged KV batcher vs standalone generate,
     with mixed prompt lengths and slot reuse (pages alloc/free cycles)."""
@@ -246,6 +249,7 @@ def test_paged_continuous_batcher_matches_standalone():
         assert got == want, (prompt, got, want)
 
 
+@pytest.mark.slow
 def test_paged_batcher_pool_exhaustion_preempts_not_hangs():
     """Oversubscribed paged pool: mid-decode page growth exhausts the pool.
     The batcher must preempt + resume (continuation prefill) instead of

@@ -32,6 +32,7 @@ def test_get_llm_text_res_train():
     assert get_llm_text_res_train(s, "MASK") == ["apple"]
 
 
+@pytest.mark.slow
 def test_prepare_batch_structure(spider):
     samples = _image_samples(spider)
     batch = spider.prepare_batch(samples)
@@ -57,6 +58,7 @@ def test_prepare_batch_structure(spider):
     np.testing.assert_array_equal(batch.input_ids[0][sig], sig_ids)
 
 
+@pytest.mark.slow
 def test_forward_image_task_losses(spider):
     out = spider.forward(_image_samples(spider))
     assert set(out) >= {"loss", "gen_loss", "gen_acc",
@@ -65,6 +67,7 @@ def test_forward_image_task_losses(spider):
         assert np.isfinite(float(v)), (k, v)
 
 
+@pytest.mark.slow
 def test_forward_text_task(spider):
     samples = {
         "Question": ["hello"],
@@ -76,6 +79,7 @@ def test_forward_text_task(spider):
     assert np.isfinite(float(out["loss"]))
 
 
+@pytest.mark.slow
 def test_forward_audio_task(spider):
     samples = {
         "Question": ["make a sound like <AUDIO><AUDIO-Placeholder></AUDIO>"],
@@ -89,6 +93,7 @@ def test_forward_audio_task(spider):
     assert np.isfinite(float(out["loss"]))
 
 
+@pytest.mark.slow
 def test_forward_gradients_flow(spider):
     samples = _image_samples(spider)
     batch = spider.prepare_batch(samples)
@@ -122,12 +127,14 @@ def test_generate_returns_answer(spider):
     assert isinstance(answers[0], str)
 
 
+@pytest.mark.slow
 def test_moe_aligner_variant():
     spider = build_tiny_spider(use_moe_aligner=True, with_pipes=True)
     out = spider.forward(_image_samples(spider))
     assert np.isfinite(float(out["loss"]))
 
 
+@pytest.mark.slow
 def test_mask_task_trains_sam_decoder():
     spider = build_tiny_spider(with_sam=True, with_pipes=False)
     sam_size = spider.sam[0].config.img_size
@@ -167,6 +174,7 @@ def test_mask_task_trains_sam_decoder():
     assert enc == 0.0 and pe == 0.0
 
 
+@pytest.mark.slow
 def test_embed_and_word_align_losses():
     spider = build_tiny_spider()
     spider.use_embed_align_loss = True

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ def test_apply_style():
                                     "Photographic", "Comic book"}
 
 
+@pytest.mark.slow
 def test_sdxl_pipeline_plain():
     pipe = build_tiny_sdxl()
     images = pipe(["a cat"], num_inference_steps=2)
@@ -22,6 +24,7 @@ def test_sdxl_pipeline_plain():
     assert images.min() >= 0.0 and images.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_story_generation_consistency_coupling():
     pipe = build_tiny_sdxl()
     frames = story_generation(pipe, general_prompt="a fox",
@@ -41,6 +44,7 @@ def test_story_generation_consistency_coupling():
     assert not np.allclose(with_story, without)
 
 
+@pytest.mark.slow
 def test_story_fewer_prompts_than_id_length():
     pipe = build_tiny_sdxl()
     frames = story_generation(pipe, general_prompt="a fox",

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,7 @@ from spider_tpu.models.unet3d import UNet3DConditionModel, unet3d_tiny
 from spider_tpu.models.vocoder import HifiGan, hifigan_tiny
 
 
+@pytest.mark.slow
 def test_unet3d_shapes():
     cfg = unet3d_tiny()
     unet = UNet3DConditionModel(cfg)
@@ -30,6 +32,7 @@ def test_hifigan_upsamples():
     assert np.abs(np.asarray(wave)).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_tiny_vd_pipeline():
     pipe = build_tiny_vd()
     embeds = pipe(prompt=["a dog"], return_prompts_only=True)
@@ -42,6 +45,7 @@ def test_tiny_vd_pipeline():
     assert frames.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_tiny_ad_pipeline():
     pipe = build_tiny_ad()
     embeds = pipe(prompt=["a cat"], return_prompts_only=True)
