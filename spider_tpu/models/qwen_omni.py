@@ -96,11 +96,7 @@ def omni_audio_tiny() -> OmniAudioConfig:
 def omni_vision_tiny() -> OmniVisionConfig:
     return OmniVisionConfig(depth=2, hidden_size=32, intermediate_size=64,
                             num_heads=4, patch_size=4, window_size=16,
-                            fullatt_block_indexes=(1,), output_dim_=None
-                            ) if False else OmniVisionConfig(
-        depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
-        patch_size=4, window_size=16, fullatt_block_indexes=(1,),
-        out_hidden_size=64)
+                            fullatt_block_indexes=(1,), out_hidden_size=64)
 
 
 def thinker_llm_full() -> LlamaConfig:
@@ -690,25 +686,23 @@ def build_full_omni_thinker(ckpt_path: Optional[str] = None,
 
         tokenizer = AutoTokenizer.from_pretrained(ckpt_path)
     else:
-        from spider_tpu.models.factory import fast_init
+        from spider_tpu.models.factory import random_params_like
         from spider_tpu.models.tokenizer import TinyTokenizer
 
         tokenizer = TinyTokenizer()
         rng = jax.random.PRNGKey(0)
-        lparams = fast_init(llm, rng, jnp.ones((1, 8), jnp.int32))
-        aparams = fast_init(audio, rng,
-                            jnp.zeros((1, acfg.n_window * 2,
-                                       acfg.num_mel_bins)),
-                            jnp.asarray([8], jnp.int32),
-                            jnp.arange(4, dtype=jnp.int32))
+        lparams = random_params_like(llm, rng, jnp.ones((1, 8), jnp.int32))
+        aparams = random_params_like(
+            audio, rng,
+            jnp.zeros((1, acfg.n_window * 2, acfg.num_mel_bins)),
+            jnp.asarray([8], jnp.int32), jnp.arange(4, dtype=jnp.int32))
         S = 16
-        vparams = fast_init(vision, rng,
-                            jnp.zeros((S, vcfg.in_channels *
-                                       vcfg.temporal_patch_size *
-                                       vcfg.patch_size ** 2)),
-                            jnp.zeros((S, vcfg.head_dim // 2)),
-                            jnp.zeros((S,), jnp.int32),
-                            jnp.zeros((S,), jnp.int32))
+        vparams = random_params_like(
+            vision, rng,
+            jnp.zeros((S, vcfg.in_channels * vcfg.temporal_patch_size *
+                       vcfg.patch_size ** 2)),
+            jnp.zeros((S, vcfg.head_dim // 2)),
+            jnp.zeros((S,), jnp.int32), jnp.zeros((S,), jnp.int32))
     return QwenOmniThinker(llm, lparams, tokenizer, audio, aparams,
                            vision, vparams, max_new_tokens=max_new_tokens)
 
