@@ -1049,3 +1049,141 @@ def convert_omni_thinker(sd: Dict[str, np.ndarray], audio_cfg, vision_cfg,
         {k: v for k, v in sd.items()
          if k.startswith(("model.", "lm_head."))}, llm_cfg)
     return aparams, vparams, lparams
+
+
+def convert_omni_talker(sd: Dict[str, np.ndarray], cfg,
+                        prefix: str = "talker.") -> Dict:
+    """Qwen2_5OmniTalkerForConditionalGeneration weights ->
+    models/omni_talker.OmniTalker.
+
+    Source naming (modeling_qwen2_5_omni.py): thinker_to_talker_proj,
+    model.embed_tokens / model.layers.N.{self_attn,mlp,*norm} / model.norm
+    (a Qwen2 decoder — reuses convert_llama_state_dict), codec_head.
+    Accepts both bare-talker and full-Omni ('talker.'-prefixed) dicts."""
+    if any(k.startswith(prefix) for k in sd):
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    base = convert_llama_state_dict(
+        {k: v for k, v in sd.items() if k.startswith("model.")},
+        cfg.as_llama(), quantize=cfg.quantization)
+    p = base["params"]
+    p["thinker_to_talker_proj"] = _to_jnp(_d(sd, "thinker_to_talker_proj"))
+    p["codec_head"] = _to_jnp({"kernel": _t(sd["codec_head.weight"])})
+    return {"params": p}
+
+
+def _d1(sd, key):
+    """torch Conv1d k=1 [out, in, 1] -> flax Dense {'kernel','bias'}."""
+    w = np.asarray(sd[key + ".weight"], np.float32)[:, :, 0]
+    out = {"kernel": w.T}
+    if key + ".bias" in sd:
+        out["bias"] = np.asarray(sd[key + ".bias"], np.float32)
+    return out
+
+
+def _tdnn(sd, key):
+    """TimeDelayNetBlock -> omni_token2wav.TDNNBlock {'conv': ...}."""
+    return {"conv": {"kernel": _conv1d(sd[key + ".conv.weight"]),
+                     "bias": np.asarray(sd[key + ".conv.bias"], np.float32)}}
+
+
+def convert_omni_dit(sd: Dict[str, np.ndarray], cfg,
+                     prefix: str = "token2wav.code2wav_dit_model.") -> Dict:
+    """Qwen2_5OmniToken2WavDiTModel weights -> omni_token2wav.DiTModel.
+
+    Source naming (modeling_qwen2_5_omni.py): time_embed.time_mlp.{0,2},
+    text_embed.codec_embed, input_embed.{proj,spk_encoder.*} (ECAPA:
+    blocks.0 TDNN, blocks.1..3 SE-Res2Net, mfa, asp.{tdnn,conv}, fc),
+    transformer_blocks.N.{attn_norm.linear, attn.to_{q,k,v}/to_out.0,
+    ff.ff.{0,3}}, norm_out.linear, proj_out."""
+    if any(k.startswith(prefix) for k in sd):
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    enc = "input_embed.spk_encoder."
+    spk = {"block_0": _tdnn(sd, enc + "blocks.0"),
+           "mfa": _tdnn(sd, enc + "mfa"),
+           "asp": {"tdnn": _tdnn(sd, enc + "asp.tdnn"),
+                   "conv": _d1(sd, enc + "asp.conv")},
+           "fc": _d1(sd, enc + "fc")}
+    for i in range(1, len(cfg.enc_channels) - 1):
+        b = enc + f"blocks.{i}."
+        res2 = {f"block_{j}": _tdnn(sd, b + f"res2net_block.blocks.{j}")
+                for j in range(cfg.enc_res2net_scale - 1)}
+        spk[f"block_{i}"] = {
+            "tdnn1": _tdnn(sd, b + "tdnn1"),
+            "tdnn2": _tdnn(sd, b + "tdnn2"),
+            "res2net_block": res2,
+            "se_block": {"conv1": _d1(sd, b + "se_block.conv1"),
+                         "conv2": _d1(sd, b + "se_block.conv2")},
+        }
+    p = {
+        "time_mlp_in": _d(sd, "time_embed.time_mlp.0"),
+        "time_mlp_out": _d(sd, "time_embed.time_mlp.2"),
+        "codec_embed": {"embedding": np.asarray(
+            sd["text_embed.codec_embed.weight"], np.float32)},
+        "input_proj": _d(sd, "input_embed.proj"),
+        "spk_encoder": spk,
+        "norm_out_linear": _d(sd, "norm_out.linear"),
+        "proj_out": _d(sd, "proj_out"),
+    }
+    for i in range(cfg.num_hidden_layers):
+        b = f"transformer_blocks.{i}."
+        p[f"layer_{i}"] = {
+            "attn_norm_linear": _d(sd, b + "attn_norm.linear"),
+            "attn": {"to_q": _d(sd, b + "attn.to_q"),
+                     "to_k": _d(sd, b + "attn.to_k"),
+                     "to_v": _d(sd, b + "attn.to_v"),
+                     "to_out": _d(sd, b + "attn.to_out.0")},
+            "ff_in": _d(sd, b + "ff.ff.0"),
+            "ff_out": _d(sd, b + "ff.ff.3"),
+        }
+    return {"params": _to_jnp(p)}
+
+
+def convert_omni_bigvgan(sd: Dict[str, np.ndarray], cfg,
+                         prefix: str = "token2wav.code2wav_bigvgan_model."
+                         ) -> Dict:
+    """Qwen2_5OmniToken2WavBigVGANModel weights -> omni_token2wav.BigVGAN.
+
+    Source naming: conv_pre, ups.N.0 (ConvTranspose1d), resblocks.{i*R+j}
+    AMP blocks (convs1/convs2 + activations.2m/.2m+1 SnakeBeta alpha/beta
+    inside TorchActivation1d), activation_post.act, conv_post."""
+    if any(k.startswith(prefix) for k in sd):
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    snake = lambda key: {
+        "alpha": np.asarray(sd[key + ".alpha"], np.float32),
+        "beta": np.asarray(sd[key + ".beta"], np.float32)}
+    p = {
+        "conv_pre": {"kernel": _conv1d(sd["conv_pre.weight"]),
+                     "bias": np.asarray(sd["conv_pre.bias"], np.float32)},
+        "activation_post": snake("activation_post.act"),
+        "conv_post": {"kernel": _conv1d(sd["conv_post.weight"])},
+    }
+    R = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        p[f"up_{i}"] = {
+            "kernel": _convT1d(sd[f"ups.{i}.0.weight"]),
+            "bias": np.asarray(sd[f"ups.{i}.0.bias"], np.float32)}
+        for j in range(R):
+            b = f"resblocks.{i * R + j}."
+            blk = {}
+            for m in range(len(cfg.resblock_dilation_sizes[j])):
+                blk[f"conv1_{m}"] = {
+                    "kernel": _conv1d(sd[b + f"convs1.{m}.weight"]),
+                    "bias": np.asarray(sd[b + f"convs1.{m}.bias"],
+                                       np.float32)}
+                blk[f"conv2_{m}"] = {
+                    "kernel": _conv1d(sd[b + f"convs2.{m}.weight"]),
+                    "bias": np.asarray(sd[b + f"convs2.{m}.bias"],
+                                       np.float32)}
+                blk[f"act1_{m}"] = snake(b + f"activations.{2 * m}.act")
+                blk[f"act2_{m}"] = snake(b + f"activations.{2 * m + 1}.act")
+            p[f"res_{i}_{j}"] = blk
+    return {"params": _to_jnp(p)}
+
+
+def convert_omni_token2wav(sd: Dict[str, np.ndarray], dit_cfg, bigvgan_cfg):
+    """Full Qwen2_5OmniToken2WavModel dict -> (dit_params, bigvgan_params)."""
+    return (convert_omni_dit(sd, dit_cfg),
+            convert_omni_bigvgan(sd, bigvgan_cfg))

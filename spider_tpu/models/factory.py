@@ -411,10 +411,17 @@ def random_params_like(module, rng, *args, scale: float = 0.02, **kwargs):
     jax.eval_shape + numpy Philox fill (~100x faster than flax init on CPU
     for 1B+ params — the full-size random builders exist for perf/serving
     scaffolding, so initializer distributions don't matter; real weights
-    come from models/convert.py). Float leaves ~ N(0, scale); int leaves 0."""
+    come from models/convert.py). Float leaves ~ N(0, scale); int leaves 0.
+
+    `method` (flax init method name/fn) is forwarded statically."""
+    import functools
+
     import numpy as _np
 
-    abstract = jax.eval_shape(module.init, rng, *args, **kwargs)
+    init = module.init
+    if "method" in kwargs:
+        init = functools.partial(init, method=kwargs.pop("method"))
+    abstract = jax.eval_shape(init, rng, *args, **kwargs)
     np_rng = _np.random.default_rng(
         int(jax.random.randint(rng, (), 0, 2**31 - 1)))
 

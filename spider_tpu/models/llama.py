@@ -477,6 +477,19 @@ class LlamaForCausalLM(nn.Module):
             return self.embed_tokens.attend(hidden.astype(self.config.dtype))
         return self.lm_head(hidden)
 
+    def call_with_final(self, inputs_embeds, positions=None, kv_write_index=0,
+                        kv_cache=None, kv_len=None):
+        """(logits, final_hidden, new_kv_cache) — final_hidden is the
+        post-final-norm last layer [B, T, H] (== HF hidden_states[-1])
+        without stacking every layer. The Qwen2.5-Omni talker consumes
+        these rows (+ token embeds) as its thinker stream."""
+        B, T = inputs_embeds.shape[:2]
+        if positions is None:
+            positions = jnp.arange(T, dtype=jnp.int32)[None, :] + kv_write_index
+        final, _, new_cache = self.model(
+            inputs_embeds, positions, kv_write_index, kv_cache, kv_len)
+        return self.logits(final), final, new_cache
+
     def __call__(self, input_ids=None, inputs_embeds=None, positions=None,
                  kv_write_index=0, kv_cache=None, kv_len=None,
                  output_hidden_states=False, page_table=None):

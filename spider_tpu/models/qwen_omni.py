@@ -518,9 +518,18 @@ class QwenOmniThinker:
 
     def chat(self, prompt: str, audios: Optional[Sequence[np.ndarray]] = None,
              images: Optional[Sequence[np.ndarray]] = None,
-             videos: Optional[Sequence[np.ndarray]] = None) -> str:
+             videos: Optional[Sequence[np.ndarray]] = None,
+             return_talker_streams: bool = False):
         """Splice modality embeds at placeholder markers (in order), build
-        m-RoPE positions, and greedy-decode the answer."""
+        m-RoPE positions, and greedy-decode the answer.
+
+        With return_talker_streams, also returns the talker conditioning
+        streams the reference's speech path stitches in its `generate`
+        (HF Qwen2_5OmniForConditionalGeneration.generate): prompt rows =
+        last-layer hidden + token embeds (embeds zeroed at multimodal
+        positions — HF zeroes only the layer-0 part), reply rows =
+        hidden + embed of each fed-back generated token, plus the m-RoPE
+        prompt positions."""
         import re
 
         segments: List[jnp.ndarray] = []
@@ -568,10 +577,35 @@ class QwenOmniThinker:
 
         embeds = jnp.concatenate(segments, axis=0)[None]
         positions = build_mrope_positions(mm_segments, merge)[:, None, :]
-        return self._decode(embeds, positions)
+        if not return_talker_streams:
+            return self._decode(embeds, positions)
 
-    def _decode(self, embeds, positions) -> str:
-        """Greedy decode with a KV cache; positions [3, 1, T] m-RoPE."""
+        text, prompt_hidden, reply_rows = self._decode(embeds, positions,
+                                                       capture=True)
+        # HF zeroes the layer-0 (embedding) contribution at mm positions
+        # before summing with the last-layer hidden.
+        zeroed, off = np.asarray(embeds[0], np.float32).copy(), 0
+        for seg in mm_segments:
+            if seg.kind in ("text", "audio"):
+                n = seg.n_tokens
+            else:
+                t, h, w = seg.grid_thw
+                n = t * (h // merge) * (w // merge)
+            if seg.kind != "text":
+                zeroed[off:off + n] = 0.0
+            off += n
+        streams = {
+            "prompt_stream": prompt_hidden + zeroed,
+            "reply_stream": reply_rows,
+            "positions": np.asarray(positions),
+        }
+        return text, streams
+
+    def _decode(self, embeds, positions, capture: bool = False):
+        """Greedy decode with a KV cache; positions [3, 1, T] m-RoPE.
+
+        capture=True additionally returns (prompt final-hidden rows [T, H],
+        reply rows [n, H] = final-hidden + embed of each fed-back token)."""
         from spider_tpu.models.llama import init_kv_cache
 
         L = embeds.shape[1]
@@ -584,45 +618,56 @@ class QwenOmniThinker:
 
             @jax.jit
             def prefill(params, embeds, positions, cache):
-                logits, _, cache = llm.apply(
-                    params, inputs_embeds=embeds, positions=positions,
+                logits, final, cache = llm.apply(
+                    params, embeds, positions=positions,
                     kv_write_index=0, kv_cache=cache,
-                    kv_len=jnp.asarray([embeds.shape[1]], jnp.int32))
-                return jnp.argmax(logits[:, -1], axis=-1), cache
+                    kv_len=jnp.asarray([embeds.shape[1]], jnp.int32),
+                    method=llm.call_with_final)
+                return (jnp.argmax(logits[:, -1], axis=-1),
+                        final.astype(jnp.float32), cache)
 
             @jax.jit
             def run(params, tok0, pos0, kv_len0, cache):
                 def step(carry, _):
                     tok, pos, kv_len, cache = carry
                     emb = llm.apply(params, tok[:, None], method=llm.embed)
-                    logits, _, cache = llm.apply(
-                        params, inputs_embeds=emb,
+                    logits, final, cache = llm.apply(
+                        params, emb,
                         positions=jnp.broadcast_to(pos[None, :, None],
                                                    (3, 1, 1)),
                         kv_write_index=kv_len, kv_cache=cache,
-                        kv_len=kv_len + 1)
+                        kv_len=kv_len + 1, method=llm.call_with_final)
                     nxt = jnp.argmax(logits[:, -1], axis=-1)
-                    return (nxt, pos + 1, kv_len + 1, cache), nxt
+                    row = (final[:, 0] + emb[:, 0]).astype(jnp.float32)
+                    return (nxt, pos + 1, kv_len + 1, cache), (nxt, row)
 
-                (_, _, _, cache), toks = jax.lax.scan(
+                (_, _, _, cache), (toks, rows) = jax.lax.scan(
                     step, (tok0, pos0, kv_len0, cache), None, length=max_new)
-                return toks[:, 0]
+                return toks[:, 0], rows[:, 0]
 
             self._gen = (prefill, run)
 
         prefill, run = self._gen
-        tok0, cache = prefill(self.llm_params, embeds,
-                              jnp.asarray(positions), cache)
+        tok0, prompt_hidden, cache = prefill(self.llm_params, embeds,
+                                             jnp.asarray(positions), cache)
         # next text position: max position so far + 1 on every stream
         nxt_pos = int(np.asarray(positions).max()) + 1
-        toks = np.asarray(run(
+        toks, rows = run(
             self.llm_params, tok0,
             jnp.full((1,), nxt_pos, jnp.int32),
-            jnp.asarray([L], jnp.int32), cache))
+            jnp.asarray([L], jnp.int32), cache)
+        toks = np.asarray(toks)
         out = [int(tok0[0])] + [int(t) for t in toks]
         if eos is not None and eos in out:
             out = out[: out.index(eos)]
-        return self.tokenizer.decode(out)
+        text = self.tokenizer.decode(out)
+        if not capture:
+            return text
+        # reply rows cover the fed-back tokens out[0..n-1]; scan step i
+        # feeds out[i], so that's rows[:len(out)] (EOS is never fed back,
+        # matching HF where reply rows = one per single-step forward).
+        rows = np.asarray(rows, np.float32)[:len(out)]
+        return text, np.asarray(prompt_hidden[0], np.float32), rows
 
 
 def build_tiny_omni_thinker(tokenizer=None, rng=None) -> QwenOmniThinker:

@@ -10,6 +10,8 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from spider_tpu.ops.convs import ConvTranspose1dTorch
+
 
 @dataclasses.dataclass(frozen=True)
 class HifiGanConfig:
@@ -78,8 +80,8 @@ class HifiGan(nn.Module):
                                               cfg.upsample_kernel_sizes)):
             ch //= 2
             x = nn.leaky_relu(x, cfg.leaky_relu_slope)
-            x = nn.ConvTranspose(ch, (ksize,), strides=(rate,), padding="SAME",
-                                 dtype=cfg.dtype, name=f"up_{i}")(x)
+            x = ConvTranspose1dTorch(ch, ksize, rate, dtype=cfg.dtype,
+                                     name=f"up_{i}")(x)
             acc = None
             for j, (k, ds) in enumerate(zip(cfg.resblock_kernel_sizes,
                                             cfg.resblock_dilation_sizes)):

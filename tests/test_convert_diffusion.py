@@ -712,3 +712,38 @@ def test_grounding_dino_converter_roundtrip():
             jax.tree_util.tree_leaves_with_path(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    err_msg=str(pa))
+
+
+def test_hifigan_matches_speecht5():
+    """Converted HifiGan vs transformers SpeechT5HifiGan, including the
+    torch ConvTranspose1d(padding=(k-s)//2) upsampling semantics
+    (ops/convs.ConvTranspose1dTorch)."""
+    torch = pytest.importorskip("torch")
+    from transformers import SpeechT5HifiGan, SpeechT5HifiGanConfig
+
+    from spider_tpu.models.convert import convert_hifigan_state_dict
+    from spider_tpu.models.vocoder import HifiGan, hifigan_tiny
+
+    cfg = hifigan_tiny()
+    hcfg = SpeechT5HifiGanConfig(
+        model_in_dim=cfg.model_in_dim,
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        upsample_rates=list(cfg.upsample_rates),
+        upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+        resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in
+                                 cfg.resblock_dilation_sizes],
+        normalize_before=cfg.normalize_before)
+    torch.manual_seed(0)
+    tm = SpeechT5HifiGan(hcfg).eval()
+
+    rng = np.random.RandomState(0)
+    mel = rng.randn(1, 13, cfg.model_in_dim).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(mel)).numpy()
+
+    params = convert_hifigan_state_dict(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, cfg)
+    got = np.asarray(HifiGan(cfg).apply(params, jnp.asarray(mel)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-5)
