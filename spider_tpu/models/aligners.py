@@ -179,7 +179,7 @@ class TextFcLayerMoE(nn.Module):
                 h = EncDecTransformer(self.num_expert_layers, dtype=self.dtype,
                                       name=f"expert_tfm_{e}")(
                     h, queries.astype(self.dtype))
-                expert_outs.append(h * w[:, :, e])
+                expert_outs.append(h * w[:, :, e:e + 1])   # [b,1,1] weight
             h = sum(expert_outs)                            # [b,num_out,hidden]
             out = nn.Dense(out_dim, dtype=self.dtype,
                            name=f"out_fc_{modality}")(h)
@@ -209,7 +209,7 @@ class TextFcLayerMoE(nn.Module):
                 h = EncDecTransformer(self.num_expert_layers, dtype=self.dtype,
                                       name=f"rec_expert_tfm_{e}")(
                     r, rq.astype(self.dtype))
-                rec_outs.append(h * rw[:, :, e])
+                rec_outs.append(h * rw[:, :, e:e + 1])
             rec = sum(rec_outs)
             rec = nn.Dense(self.in_dim, dtype=self.dtype,
                            name=f"rec_out_fc2_{modality}")(rec)

@@ -131,19 +131,35 @@ def build_spider_from_config(model_config: Dict) -> "Spider":
                  "use_embed_align_loss", "only_embed_align_loss",
                  "word_align_loss", "alignment_layer") if k in cfg}
         return build_tiny_spider(**keys)
-    raise NotImplementedError(
-        f"preset {preset!r}: full-size assembly requires converted "
-        "checkpoints (see spider_tpu/models/convert.py)")
+    if preset == "full":
+        keys = {k: cfg[k] for k in
+                ("paths", "lora_r", "with_encoder", "with_sam", "with_pipes",
+                 "use_moe_aligner", "max_context_len", "only_llm_gen_loss",
+                 "use_embed_align_loss", "only_embed_align_loss",
+                 "word_align_loss", "alignment_layer", "abstract")
+                if k in cfg}
+        return build_full_spider(**keys)
+    raise ValueError(f"unknown spider preset {preset!r} "
+                     "(expected 'tiny' or 'full')")
 
 
-def _init_moe_all(model: TextFcLayerMoE, rng, hidden_size, align_specs):
+def _init_moe_all(model: TextFcLayerMoE, rng, hidden_size, align_specs,
+                  abstract: bool = False):
     """Init the MoE aligner with every modality's heads present: flax creates
-    params lazily per call path, so run one init per modality and merge."""
+    params lazily per call path, so run one init per modality and merge.
+    abstract=True merges ShapeDtypeStruct trees instead (no memory)."""
     import flax
 
+    import functools
+
+    init = (lambda m: jax.eval_shape(
+        functools.partial(model.init, modality=m), rng,
+        jnp.zeros((1, 4, hidden_size)))) if abstract else \
+        (lambda m: model.init(rng, jnp.zeros((1, 4, hidden_size)),
+                              modality=m))
     merged = None
     for m in align_specs:
-        p = model.init(rng, jnp.zeros((1, 4, hidden_size)), modality=m)
+        p = init(m)
         if merged is None:
             merged = flax.core.unfreeze(p)
         else:
@@ -446,3 +462,200 @@ def random_params_like(module, rng, *args, scale: float = 0.02, **kwargs):
         return _np.zeros(x.shape, x.dtype)
 
     return jax.tree_util.tree_map_with_path(leaf, abstract)
+
+
+def abstract_params_like(module, rng, *args, **kwargs):
+    """ShapeDtypeStruct param tree (no memory): compile-only dryruns."""
+    import functools
+
+    init = module.init
+    if "method" in kwargs:
+        init = functools.partial(init, method=kwargs.pop("method"))
+    return jax.eval_shape(init, rng, *args, **kwargs)
+
+
+def graft_params(abstract_tree, source, *, rng=None, scale: float = 0.02):
+    """Fill an abstract tree from `source` where paths+shapes match;
+    random/zero-init the rest (LoRA adapters grafted onto a converted base
+    checkpoint: lora_b zeros — identity at init — lora_a ~ N(0, scale))."""
+    import numpy as _np
+
+    flat_src = {jax.tree_util.keystr(p): v for p, v in
+                jax.tree_util.tree_leaves_with_path(source)}
+    np_rng = _np.random.default_rng(
+        0 if rng is None else
+        int(jax.random.randint(rng, (), 0, 2**31 - 1)))
+
+    def leaf(path, x):
+        key = jax.tree_util.keystr(path)
+        if key in flat_src and tuple(_np.shape(flat_src[key])) == tuple(x.shape):
+            return _np.asarray(flat_src[key])
+        name = ""
+        for p in reversed(path):
+            if hasattr(p, "key"):
+                name = str(p.key)
+                break
+        if name == "lora_b" or not _np.issubdtype(
+                _np.dtype(jnp.float32 if str(x.dtype) == "bfloat16"
+                          else x.dtype), _np.floating):
+            return _np.zeros(x.shape, x.dtype)
+        return (np_rng.standard_normal(x.shape, dtype=_np.float32)
+                * scale).astype(x.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, abstract_tree)
+
+
+# Reference full-size operating point (spider_demo_train.py:37-49): 77
+# conditioning tokens into SD-1.5 (768) / ZeroScope (1024), 1 into
+# AudioLDM CLAP (512) and the SAM prompt space (256).
+FULL_ALIGN_SPECS = {
+    "IMAGE": dict(alignment_input_tokens=1, alignment_output_tokens=77,
+                  alignment_output_dim=768),
+    "VIDEO": dict(alignment_input_tokens=1, alignment_output_tokens=77,
+                  alignment_output_dim=1024),
+    "AUDIO": dict(alignment_input_tokens=1, alignment_output_tokens=1,
+                  alignment_output_dim=512),
+    "MASK": dict(alignment_input_tokens=1, alignment_output_tokens=1,
+                 alignment_output_dim=256),
+}
+
+
+def build_full_spider(paths: Optional[Dict[str, str]] = None,
+                      dtype=jnp.bfloat16,
+                      abstract: bool = False,
+                      lora_r: int = 32,
+                      with_encoder: bool = True,
+                      with_sam: bool = True,
+                      with_pipes: bool = False,
+                      use_moe_aligner: bool = True,
+                      max_context_len: int = 500,
+                      rng: Optional[jax.Array] = None,
+                      **spider_kwargs) -> Spider:
+    """Full-size trainable Spider at the reference operating point
+    (train_configs/spider_demo_train.py:8-63; base_model.py:40-233):
+    frozen ImageBind-huge encoder -> input proj -> LoRA-r32 Llama-8B
+    (DeepSeek-R1-Distill-Llama-8B architecture) with the extended signal-
+    token vocabulary -> moe_transformer aligners (hidden 512, 3 experts x
+    4+4 layers; dims per FULL_ALIGN_SPECS) -> SAM ViT-H (mask decoder
+    trainable; cap training to it with run.trainable_patterns).
+
+    paths: optional {llama, imagebind, sam, sd15, zeroscope, audioldm}
+    checkpoint dirs/files fed through models/convert.py; missing entries
+    random-init at full size (shape-true). abstract=True returns
+    ShapeDtypeStruct trees instead of materialized params — for sharded
+    train-step compile dryruns (runners/compile_check.py) without 16+ GB
+    of host fills and relay transfers.
+
+    with_pipes: resident full-size SD-1.5/ZeroScope/AudioLDM pipes for the
+    alignment losses + generate (heavy; off by default — training with
+    only_llm_gen_loss or precomputed cond embeds does not need them)."""
+    import dataclasses as dc
+
+    paths = paths or {}
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    make = abstract_params_like if abstract else random_params_like
+
+    tokenizer = _hf_tokenizer(paths.get("llama"), "") \
+        if paths.get("llama") else TinyTokenizer()
+    modality_tokens = {"IMAGE": 1, "VIDEO": 1, "AUDIO": 1, "MASK": 1,
+                      "BOX": 1}
+    extend_tokenizer(tokenizer, modality_tokens, bbox_bins=0)
+
+    # --- LLM: Llama-3.1-8B architecture + LoRA(r, alpha=21 on q/k/v/o),
+    # vocab extended to the signal tokens (rounded to /128 for MXU tiling;
+    # random/abstract init keeps the real 128256-row Llama-3 embedding
+    # footprint even under the small test tokenizer — 8B means 8B)
+    new_vocab = max(-(-len(tokenizer) // 128) * 128,
+                    -(-(128256 + len(tokenizer)) // 128) * 128
+                    if not paths.get("llama") else 0)
+    if paths.get("llama"):
+        from spider_tpu.models import convert as C
+
+        base_cfg, base_params = C.convert_llama_checkpoint(paths["llama"])
+        base_params = C.extend_llama_embeddings(base_params, new_vocab, rng)
+        cfg = dc.replace(base_cfg, vocab_size=max(new_vocab,
+                                                  base_cfg.vocab_size),
+                         lora=L.LoraConfig(r=lora_r), dtype=dtype)
+        llm = L.LlamaForCausalLM(cfg)
+        llm_params = graft_params(
+            abstract_params_like(llm, rng, jnp.ones((1, 8), jnp.int32)),
+            base_params, rng=rng)
+    else:
+        cfg = dc.replace(L.llama3_8b(), vocab_size=new_vocab,
+                         lora=L.LoraConfig(r=lora_r), dtype=dtype)
+        llm = L.LlamaForCausalLM(cfg)
+        llm_params = make(llm, rng, jnp.ones((1, 8), jnp.int32))
+
+    # --- frozen ImageBind-huge encoder + input projection (1024 -> hidden)
+    encoder = encoder_params = None
+    embed_dim = 1024
+    if with_encoder and not abstract:
+        encoder, encoder_params = from_pretrained(
+            "imagebind", paths.get("imagebind"), dtype=dtype, rng=rng)
+    if abstract:
+        llama_proj_params = {
+            "kernel": jax.ShapeDtypeStruct((embed_dim, cfg.hidden_size),
+                                           jnp.float32),
+            "bias": jax.ShapeDtypeStruct((cfg.hidden_size,), jnp.float32)}
+    else:
+        k1, _ = jax.random.split(rng)
+        llama_proj_params = {
+            "kernel": jax.random.normal(
+                k1, (embed_dim, cfg.hidden_size)) * 0.02,
+            "bias": jnp.zeros((cfg.hidden_size,))}
+
+    # --- aligners (trained from scratch -> always random/abstract init)
+    moe_aligner = None
+    aligners = {}
+    if use_moe_aligner:
+        model = TextFcLayerMoE(cfg.hidden_size, FULL_ALIGN_SPECS,
+                               mode="moe_transformer", hidden_dim=512,
+                               num_expert_layers=4)
+        moe_aligner = (model, _init_moe_all(model, rng, cfg.hidden_size,
+                                            FULL_ALIGN_SPECS,
+                                            abstract=abstract))
+    else:
+        for m, spec in FULL_ALIGN_SPECS.items():
+            model = TextFcLayer(
+                cfg.hidden_size, spec["alignment_output_dim"],
+                num_input_tokens=spec["alignment_input_tokens"],
+                num_output_tokens=spec["alignment_output_tokens"],
+                mode="transformer", hidden_dim=512)
+            params = make(model, rng,
+                          jnp.zeros((1, spec["alignment_input_tokens"],
+                                     cfg.hidden_size)))
+            aligners[m] = (model, params)
+
+    # --- SAM ViT-H (mask decoder trainable, base_model.py:221-233)
+    sam = None
+    if with_sam:
+        if abstract:
+            from spider_tpu.models.sam import Sam, sam_vit_h
+
+            sam_cfg = dc.replace(sam_vit_h(), dtype=dtype)
+            sam_model = Sam(sam_cfg)
+            sam = (sam_model, make(sam_model, rng,
+                                   jnp.zeros((1, 3, 1024, 1024)),
+                                   boxes=jnp.zeros((1, 1, 4))))
+        else:
+            sam = from_pretrained("sam", paths.get("sam"), dtype=dtype,
+                                  rng=rng)
+
+    pipes = {}
+    if with_pipes and not abstract:
+        pipes = {
+            "IMAGE": from_pretrained("sd15", paths.get("sd15"), dtype=dtype,
+                                     rng=rng),
+            "VIDEO": from_pretrained("zeroscope", paths.get("zeroscope"),
+                                     dtype=dtype, rng=rng),
+            "AUDIO": from_pretrained("audioldm", paths.get("audioldm"),
+                                     dtype=dtype, rng=rng),
+        }
+
+    return Spider(
+        llm_model=llm, llm_params=llm_params, tokenizer=tokenizer,
+        encoder_model=encoder, encoder_params=encoder_params,
+        llama_proj_params=llama_proj_params,
+        aligners=aligners, moe_aligner=moe_aligner,
+        diffusion_pipes=pipes, sam=sam, modality_tokens=modality_tokens,
+        max_context_len=max_context_len, **spider_kwargs)

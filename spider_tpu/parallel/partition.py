@@ -51,9 +51,15 @@ LLAMA_RULES: List[Tuple[str, P]] = [
 # match; aligner/projection/SAM matrices get a generic last-dim fsdp shard
 # (ZeRO-style memory spreading; _validate_spec drops axes that don't divide).
 SPIDER_RULES: List[Tuple[str, P]] = LLAMA_RULES[:-1] + [
-    (r"(aligners|moe_aligner|llama_proj|sam)/.*(kernel|embedding)$",
-     P(None, "fsdp")),
-    (r"(aligners|moe_aligner)/.*(queries|query)", P()),
+    # Aligners are deliberately REPLICATED: their leaves are small
+    # ([512,512]-class; 163M total for the full MoE aligner) and
+    # fsdp-sharding them makes the SPMD partitioner fight per-op over
+    # transposed layouts in the backward pass ("Involuntary full
+    # rematerialization" warnings on every TextFcLayer grad accumulation).
+    # Replication costs <0.7 GiB/device at full size and keeps the
+    # aligner math local; the big memory (LLM, SAM encoder) still shards.
+    (r"(aligners|moe_aligner)/", P()),
+    (r"(llama_proj|sam)/.*(kernel|embedding)$", P(None, "fsdp")),
     (r".*", P()),
 ]
 

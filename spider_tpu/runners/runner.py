@@ -160,6 +160,7 @@ class RunnerBase:
         if key not in self._step_cache:
             spider = self.model
             tx = self.tx
+            param_sh = self._param_shardings
 
             def step(params, opt_state, batch_dict, modality_embeds, cond,
                      aux_arrays):
@@ -171,6 +172,12 @@ class RunnerBase:
                     return out["loss"], out
 
                 grads, out = jax.grad(loss_fn, has_aux=True)(params)
+                # Pin grads to the param layout before the optimizer: grads
+                # of broadcast params (LoRA b, aligner queries) otherwise
+                # inherit degenerate batch shardings from the loss and the
+                # SPMD partitioner fights per-op ("involuntary full
+                # rematerialization") inside clip_by_global_norm.
+                grads = jax.lax.with_sharding_constraint(grads, param_sh)
                 updates, new_opt = tx.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
                 return new_params, new_opt, out

@@ -57,9 +57,16 @@ def build_optimizer(learning_rate, *, weight_decay: float = 0.0,
 
 
 def make_lm_train_step(model: LlamaForCausalLM,
-                       tx: optax.GradientTransformation):
+                       tx: optax.GradientTransformation,
+                       param_shardings=None):
     """Returns step(state, batch) -> (state, metrics). batch: input_ids,
-    labels [B, T] (labels -100 outside answer spans)."""
+    labels [B, T] (labels -100 outside answer spans).
+
+    param_shardings (optional pytree of NamedSharding matching params) pins
+    gradients to the parameter layout before the optimizer — grads of
+    broadcast params (LoRA b) otherwise inherit degenerate batch shardings
+    and the SPMD partitioner falls back to full rematerialization inside
+    clip_by_global_norm."""
 
     moe = model.config.num_experts > 0
 
@@ -78,6 +85,8 @@ def make_lm_train_step(model: LlamaForCausalLM,
             return loss, acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if param_shardings is not None:
+            grads = jax.lax.with_sharding_constraint(grads, param_shardings)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
@@ -154,7 +163,7 @@ def make_jitted_train_step(model, tx, mesh: Mesh, state: TrainState):
     """jit the step with explicit state shardings and data-sharded batches."""
     state_shardings = jax.tree_util.tree_map(lambda x: x.sharding, state)
     batch_sharding = NamedSharding(mesh, P(("data", "fsdp"), None))
-    step = make_lm_train_step(model, tx)
+    step = make_lm_train_step(model, tx, state_shardings.params)
     return jax.jit(
         step,
         in_shardings=(state_shardings, batch_sharding),

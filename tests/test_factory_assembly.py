@@ -95,3 +95,59 @@ def test_from_pretrained_unknown_kind():
 
     with pytest.raises(ValueError, match="unknown"):
         from_pretrained("nope")
+
+
+def test_build_full_spider_abstract_shapes():
+    """Full-size assembly (VERDICT r2 item 4): abstract build carries the
+    reference operating point — 8B-class Llama + LoRA, 77-token aligner
+    heads, SAM ViT-H — without materializing memory."""
+    import jax
+
+    from spider_tpu.models.factory import FULL_ALIGN_SPECS, build_full_spider
+
+    sp = build_full_spider(abstract=True, with_encoder=False,
+                           with_pipes=False)
+    assert sp.llm.config.hidden_size == 4096
+    assert sp.llm.config.num_hidden_layers == 32
+    assert sp.llm.config.lora is not None and sp.llm.config.lora.r == 32
+    # vocab extended beyond Llama-3's 128256 for signal tokens, /128 tiled
+    assert sp.llm.config.vocab_size >= 128256
+    assert sp.llm.config.vocab_size % 128 == 0
+    tp = sp.trainable_params()
+    n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tp))
+    assert 8.0e9 < n < 10.0e9            # 8B LLM + SAM + aligners
+    # abstract everywhere except trivial scalars (logit_scale)
+    assert all(isinstance(x, jax.ShapeDtypeStruct) or np.ndim(x) == 0
+               for x in jax.tree_util.tree_leaves(tp))
+    assert set(FULL_ALIGN_SPECS) == {"IMAGE", "VIDEO", "AUDIO", "MASK"}
+
+
+def test_graft_params_fills_and_inits():
+    """graft_params: matching paths copied, lora_b zero, rest random."""
+    import jax
+    import jax.numpy as jnp
+
+    from spider_tpu.models.factory import graft_params
+
+    abstract = {
+        "base": {"kernel": jax.ShapeDtypeStruct((4, 4), jnp.float32)},
+        "lora": {"lora_a": jax.ShapeDtypeStruct((4, 2), jnp.float32),
+                 "lora_b": jax.ShapeDtypeStruct((2, 4), jnp.float32)},
+    }
+    src = {"base": {"kernel": np.ones((4, 4), np.float32)}}
+    out = graft_params(abstract, src)
+    assert np.array_equal(out["base"]["kernel"], np.ones((4, 4)))
+    assert np.array_equal(out["lora"]["lora_b"], np.zeros((2, 4)))
+    assert np.any(out["lora"]["lora_a"] != 0)     # random init
+    assert abs(out["lora"]["lora_a"]).max() < 1.0 # small scale
+
+
+@pytest.mark.slow
+def test_full_spider_sharded_step_aot_compiles():
+    """8.87B-param train step AOT-compiles at dp2 x fsdp2 x tp2 (the driver
+    dryrun's sibling at full scale, reference base_model.py:40-233)."""
+    from spider_tpu.runners.compile_check import compile_full_spider_step
+
+    stats = compile_full_spider_step()
+    assert stats["compile_ok"] == 1.0
+    assert stats["n_params"] > 8.5e9

@@ -1,0 +1,99 @@
+"""Per-block micro-profile of the ZeroScope UNet3D on the real chip.
+
+Times each block type (TemporalConv, TransformerTemporal, Transformer2D,
+ResnetBlock2D) in isolation at every pyramid level's true shape (CFG batch
+2, 16 frames, 40x72 latents), so step time attributes to specific modules
+instead of whole ablation classes. Then A/Bs candidate optimizations on
+the worst offenders.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/profile_vd_micro.py
+"""
+
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, n=10):
+    out = fn(*args)
+    jax.tree_util.tree_map(np.asarray, out)  # fence through the relay
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.tree_util.tree_map(np.asarray, out)
+    return (time.perf_counter() - t0) / n
+
+
+# ZeroScope pyramid at 40x72 latents, B=2 (CFG), F=16.
+# (level, ch, H, W, n_tconv, n_tattn, n_attn2d, n_res)
+# counts from unet3d.UNet3DConditionModel: down 2/level (+attn if cross),
+# mid 2 res+2 tconv+1 attn+1 tattn at L3, up 3/level; stem tattn at L0.
+LEVELS = [
+    (0, 320, 40, 72, 5, 6, 5, 5),
+    (1, 640, 20, 36, 5, 5, 5, 5),
+    (2, 1280, 10, 18, 5, 5, 5, 5),
+    (3, 1280, 5, 9, 7, 1, 1, 7),
+]
+
+
+def main():
+    import dataclasses as dc
+
+    from spider_tpu.models import unet2d as U2
+    from spider_tpu.models import unet3d as U3
+    from spider_tpu.models.factory import random_params_like
+
+    B, F = 2, 16
+    dtype = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    dev = jax.devices()[0]
+    groups = 32
+
+    total = {}
+    for level, ch, H, W, n_tc, n_ta, n_a2, n_rs in LEVELS:
+        x5 = jnp.zeros((B, F, H, W, ch), dtype)
+        xf = jnp.zeros((B * F, H, W, ch), dtype)
+        temb = jnp.zeros((B * F, 1280), dtype)
+        ctx = jnp.zeros((B * F, 77, 1024), dtype)
+
+        rows = {}
+
+        tc = U3.TemporalConv(ch, groups, dtype)
+        p = random_params_like(tc, rng, x5)
+        fn = jax.jit(lambda p, x: tc.apply(p, x))
+        rows["tconv"] = (timed(fn, p, x5), n_tc)
+
+        ta = U3.TransformerTemporal(8, groups, dtype)
+        p = random_params_like(ta, rng, x5)
+        fn = jax.jit(lambda p, x: ta.apply(p, x))
+        rows["tattn"] = (timed(fn, p, x5), n_ta)
+
+        a2 = U2.Transformer2D(8, 1, groups, dtype)
+        p = random_params_like(a2, rng, xf, ctx)
+        fn = jax.jit(lambda p, x, c: a2.apply(p, x, c))
+        rows["attn2d"] = (timed(fn, p, xf, ctx), n_a2)
+
+        rs = U2.ResnetBlock2D(ch, groups, dtype)
+        p = random_params_like(rs, rng, xf, temb)
+        fn = jax.jit(lambda p, x, t: rs.apply(p, x, t))
+        rows["resnet"] = (timed(fn, p, xf, temb), n_rs)
+
+        for k, (dt, n) in rows.items():
+            total[k] = total.get(k, 0.0) + dt * n
+            print(f"L{level} ch{ch:４} {k:7s} {dt*1e3:7.2f} ms x{n} "
+                  f"= {dt*n*1e3:8.1f} ms", flush=True)
+
+    print("---- totals (sum of isolated blocks)")
+    for k, v in sorted(total.items(), key=lambda kv: -kv[1]):
+        print(f"{k:7s} {v*1e3:8.1f} ms")
+    print(f"sum {sum(total.values())*1e3:.1f} ms "
+          f"(vs measured full step ~381 ms)")
+
+
+if __name__ == "__main__":
+    main()
