@@ -151,30 +151,41 @@ class SpiderDecoder:
                     BOX=self.decode_box, IMAGESTORY=None)
 
     # --------------------------------------------------------------- generate
-    def generate(self, samples: Dict[str, Any], answers: List[str],
-                 predictions: Dict[str, Any], predictions_text: Dict[str, List]):
-        """Parse samples['llm_text_all'][0] and dispatch each tag span
-        (contract of spider_decoder.py:309-348)."""
+    def generate_stream(self, samples: Dict[str, Any]):
+        """Generator over decoded tag spans, one at a time — each yielded
+        item is (modality, llm_text_res, preds) the moment its decoder
+        finishes, so callers can stream media into the chat while later
+        (slower) decoders still run, like the reference's per-tag loop
+        (qwen2.5omni_spider_web.py:524-588). IMAGESTORY spans yield
+        preds=None (the caller owns the story pipeline)."""
         output_texts = samples["llm_text_all"][0]
         modality_list = tags.get_llm_text_modality(
             output_texts, list(self.decode_modality.keys()))
         for modality in modality_list:
             for llm_text_res in tags.get_llm_text_res(output_texts, modality):
                 samples["llm_text_res"] = [llm_text_res]
-                predictions_text[modality].append(llm_text_res)
-                if modality == "IMAGESTORY":
-                    continue  # handled by the caller (story pipeline)
-                preds = self.decode_modality[modality](samples)
-                if preds is None:
-                    continue
-                if modality == "BOX":
-                    predictions["BOX"]["bboxes"].append(preds["outputs_bboxes"][0])
-                    predictions["BOX"]["label_names"].append(preds["outputs_label_names"][0])
-                    predictions["BOX"]["scores"].append(preds["outputs_scores"][0])
-                elif modality in ("IMAGE", "AUDIO", "MASK"):
-                    predictions[modality].append(preds[0])
-                else:  # VIDEO: whole clip
-                    predictions[modality].append(preds)
+                preds = None
+                if modality != "IMAGESTORY":
+                    preds = self.decode_modality[modality](samples)
+                yield modality, llm_text_res, preds
+
+    def generate(self, samples: Dict[str, Any], answers: List[str],
+                 predictions: Dict[str, Any], predictions_text: Dict[str, List]):
+        """Parse samples['llm_text_all'][0] and dispatch each tag span
+        (contract of spider_decoder.py:309-348)."""
+        output_texts = samples["llm_text_all"][0]
+        for modality, llm_text_res, preds in self.generate_stream(samples):
+            predictions_text[modality].append(llm_text_res)
+            if preds is None:
+                continue
+            if modality == "BOX":
+                predictions["BOX"]["bboxes"].append(preds["outputs_bboxes"][0])
+                predictions["BOX"]["label_names"].append(preds["outputs_label_names"][0])
+                predictions["BOX"]["scores"].append(preds["outputs_scores"][0])
+            elif modality in ("IMAGE", "AUDIO", "MASK"):
+                predictions[modality].append(preds[0])
+            else:  # VIDEO: whole clip
+                predictions[modality].append(preds)
         answers.append(output_texts)
         return answers, predictions, predictions_text
 

@@ -65,14 +65,31 @@ async function send(){
  if(aud) body.audio=await b64(aud);
  const vids=document.getElementById('vid').files;
  if(vids.length) body.video_frames=await Promise.all([...vids].map(b64));
+ body.stream=true;
  const hist=document.getElementById('hist');
  hist.innerHTML+='<div class=turn><b class=u>you:</b> '+body.text+'</div>';
+ const turn=document.createElement('div');turn.className='turn';
+ turn.innerHTML='<b>spider:</b> <span class=ans>…</span><div class=media></div>';
+ hist.appendChild(turn);
+ // per-tag streaming: each SSE event renders the moment its decoder
+ // finishes (image/audio appear while the video stage still denoises)
  const r=await fetch('/chat',{method:'POST',
    headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
- const j=await r.json();
- let html='<div class=turn><b>spider:</b> '+j.answer+'<div class=media>';
- for(const ev of j.events) html+=render(ev);
- hist.innerHTML+=html+'</div></div>';
+ const reader=r.body.getReader();const dec=new TextDecoder();let buf='';
+ for(;;){
+  const {done,value}=await reader.read();
+  if(done)break;
+  buf+=dec.decode(value,{stream:true});
+  let i;
+  while((i=buf.indexOf('\\n\\n'))>=0){
+   const chunk=buf.slice(0,i);buf=buf.slice(i+2);
+   if(!chunk.startsWith('data: '))continue;
+   const ev=JSON.parse(chunk.slice(6));
+   if(ev.kind=='text')turn.querySelector('.ans').textContent=ev.answer;
+   else if(ev.kind=='error')turn.querySelector('.ans').textContent='error: '+ev.error;
+   else if(ev.kind!='done')turn.querySelector('.media').innerHTML+=render(ev);
+  }
+ }
 }
 </script></body></html>"""
 
@@ -200,6 +217,8 @@ def make_handler(spider_free):
                 if not req.get("mm_understanding"):
                     images = None
                 mm_kwargs = dict(audios=audios, images=images, videos=videos)
+            if req.get("stream"):
+                return self._do_stream(req, mm_kwargs)
             try:
                 events, answers, _, _ = spider_free.chat(
                     req.get("text", ""), extra_inputs=build_ask_info(req),
@@ -220,6 +239,35 @@ def make_handler(spider_free):
             self.send_header("Content-Type", "application/json")
             self.end_headers()
             self.wfile.write(body)
+
+        def _do_stream(self, req, mm_kwargs):
+            """Server-sent events: each chat event is written and flushed
+            the moment its decoder finishes, so the browser renders the
+            text + fast media (image/audio/box) while the video stage is
+            still denoising — the reference's per-tag streaming UX
+            (qwen2.5omni_spider_web.py:524-600)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def emit(obj):
+                self.wfile.write(b"data: " + json.dumps(obj).encode()
+                                 + b"\n\n")
+                self.wfile.flush()
+
+            try:
+                for kind, payload in spider_free.chat_stream(
+                        req.get("text", ""),
+                        extra_inputs=build_ask_info(req),
+                        task_prompt=req.get("task", "TEXT"), **mm_kwargs):
+                    if kind == "text":
+                        emit({"kind": "text", "answer": payload})
+                    else:
+                        emit(serialize_event(kind, payload))
+            except ValueError as exc:
+                emit({"kind": "error", "error": str(exc)})
+            emit({"kind": "done"})
 
     return Handler
 

@@ -76,10 +76,21 @@ class SpiderFree:
                       "<IMAGESTORY>...</IMAGESTORY>.",
     }
 
-    def chat(self, user_text: str,
-             extra_inputs: Optional[Dict[str, Any]] = None,
-             task_prompt: str = "TEXT",
-             audios=None, images=None, videos=None):
+    def chat_stream(self, user_text: str,
+                    extra_inputs: Optional[Dict[str, Any]] = None,
+                    task_prompt: str = "TEXT",
+                    audios=None, images=None, videos=None,
+                    result: Optional[Dict[str, Any]] = None):
+        """Generator of (kind, payload) events. The text event is yielded
+        the moment the LLM turn finishes and each media event the moment
+        its decoder returns — an 18 s video no longer blocks the image
+        that parsed before it (reference streams per-tag the same way,
+        qwen2.5omni_spider_web.py:524-600). Pass `result={}` to receive
+        the answers/predictions/predictions_text reference contract after
+        the generator is exhausted."""
+        from spider_tpu.models.spider_decoder import (empty_predictions,
+                                                      empty_predictions_text)
+
         hint = self.TASK_HINTS.get(task_prompt, "")
         prompt = f"{self.system_prompt}\nUser: {user_text}{hint}\nOutput:"
         if audios or images or videos:
@@ -98,23 +109,62 @@ class SpiderFree:
         else:
             raw = self.chat_fn(prompt)
         answer = extract_answer(raw)
+        predictions = empty_predictions()
+        predictions_text = empty_predictions_text()
+        if result is not None:
+            result["answers"] = [answer]
+            result["predictions"] = predictions
+            result["predictions_text"] = predictions_text
+        yield "text", answer
+
         ask_info: Dict[str, Any] = dict(extra_inputs or {})
         ask_info["llm_text_all"] = [answer]
-        answers, predictions, predictions_text = self.decoder_infer(ask_info)
-        events: List = [("text", answer)]
-        for modality in ("IMAGE", "VIDEO", "AUDIO", "MASK"):
-            for i, media in enumerate(predictions[modality]):
-                caption = (predictions_text[modality][i]
-                           if i < len(predictions_text[modality]) else "")
-                events.append((modality.lower(), dict(media=media,
-                                                      caption=caption)))
-        for i, boxes in enumerate(predictions["BOX"]["bboxes"]):
-            events.append(("box", dict(bboxes=boxes,
-                                       labels=predictions["BOX"]["label_names"][i],
-                                       scores=predictions["BOX"]["scores"][i])))
-        for story in predictions["IMAGESTORY"]:
-            events.append(("story", dict(images=story)))
-        return events, answers, predictions, predictions_text
+        decoder = self.decoder_infer.spider_decoder
+        for modality, text_res, preds in decoder.generate_stream(ask_info):
+            predictions_text[modality].append(text_res)
+            if preds is None:
+                continue
+            if modality == "BOX":
+                predictions["BOX"]["bboxes"].append(preds["outputs_bboxes"][0])
+                predictions["BOX"]["label_names"].append(
+                    preds["outputs_label_names"][0])
+                predictions["BOX"]["scores"].append(preds["outputs_scores"][0])
+                yield "box", dict(bboxes=preds["outputs_bboxes"][0],
+                                  labels=preds["outputs_label_names"][0],
+                                  scores=preds["outputs_scores"][0])
+            elif modality in ("IMAGE", "AUDIO", "MASK"):
+                predictions[modality].append(preds[0])
+                yield modality.lower(), dict(media=preds[0], caption=text_res)
+            else:  # VIDEO: whole clip
+                predictions[modality].append(preds)
+                yield modality.lower(), dict(media=preds, caption=text_res)
+        if predictions_text["IMAGESTORY"]:
+            general_prompt, prompt_array, style_name = \
+                tags.extract_story_elements(predictions_text["IMAGESTORY"][0])
+            story_fn = self.decoder_infer.story_fn
+            if (story_fn is not None and general_prompt and prompt_array
+                    and isinstance(prompt_array, list) and len(prompt_array)
+                    and style_name):
+                preds = story_fn(general_prompt=general_prompt,
+                                 prompt_array=prompt_array,
+                                 style_name=style_name)
+                predictions["IMAGESTORY"].append(preds)
+                predictions_text["IMAGESTORY_prompts"].append(prompt_array)
+                yield "story", dict(images=preds)
+            else:
+                logging.warning("One or more required inputs for "
+                                "story_generation are empty!")
+
+    def chat(self, user_text: str,
+             extra_inputs: Optional[Dict[str, Any]] = None,
+             task_prompt: str = "TEXT",
+             audios=None, images=None, videos=None):
+        result: Dict[str, Any] = {}
+        events: List = list(self.chat_stream(
+            user_text, extra_inputs, task_prompt,
+            audios=audios, images=images, videos=videos, result=result))
+        return (events, result["answers"], result["predictions"],
+                result["predictions_text"])
 
 
 def make_llama_chat_fn(model, params, tokenizer, max_new_tokens: int = 512,
