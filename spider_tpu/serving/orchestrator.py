@@ -1,0 +1,192 @@
+"""Multi-decoder stage orchestration — the v5e-8 serving configuration.
+
+The headline latency model assumes per-stage residency: on an 8-chip slice
+each task decoder (SD image, ZeroScope video, AudioLDM audio, DINO/SAM
+grounding) owns its chips and a request's tag dispatches run CONCURRENTLY,
+so request latency is decode + max(stage) instead of decode + sum(stages).
+The reference serializes every decoder on one GPU
+(/root/reference/spider/models/spider_decoder.py:309-348 runs tags in a
+loop; pipelines are even re-instantiated per call, spider_decoder.py:112).
+
+This module makes that model executable: each stage is a worker thread
+bound to one decoder whose params live on that stage's own device(s); JAX
+dispatches from different threads to different devices run concurrently.
+`dryrun_concurrent()` exercises it on the virtual 8-device CPU mesh with
+tiny real pipelines and reports serial vs concurrent request latency —
+the MULTICHIP artifact's concurrent-request line.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from spider_tpu.models import tags as tags_mod
+
+
+class StageOrchestrator:
+    """Fan tag-dispatches out to per-modality stage workers.
+
+    decoders: modality -> callable, same contract as SpiderDecoder's
+    decoders. Each modality gets ONE worker thread (a stage serializes its
+    own queue — one compiled pipeline instance per stage — but different
+    stages overlap).
+    """
+
+    def __init__(self, decoders: Dict[str, Callable]):
+        self.decoders = dict(decoders)
+        self._pools = {m: ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix=f"stage-{m}")
+            for m in self.decoders}
+
+    def submit(self, modality: str, fn: Callable, *args, **kw) -> Future:
+        return self._pools[modality].submit(fn, *args, **kw)
+
+    def dispatch_all(self, spans: List[Tuple[str, Callable]]) -> List[Future]:
+        """spans: [(modality, thunk)] in parse order; returns futures in the
+        same order while the stages run concurrently."""
+        return [self._pools[m].submit(thunk) for m, thunk in spans]
+
+    def shutdown(self):
+        for p in self._pools.values():
+            p.shutdown(wait=False)
+
+
+def run_request_concurrent(spider_decoder, samples: Dict[str, Any],
+                           orchestrator: StageOrchestrator):
+    """Parse samples['llm_text_all'][0] and dispatch every tag to its stage
+    worker; returns (events in parse order, stage_latency dict). Each event
+    is (modality, llm_text_res, preds). Latency of the whole call is
+    max(stage chains), not the sum."""
+    output_texts = samples["llm_text_all"][0]
+    modality_list = tags_mod.get_llm_text_modality(
+        output_texts, list(spider_decoder.decode_modality.keys()))
+    spans: List[Tuple[str, str]] = []
+    for modality in modality_list:
+        for llm_text_res in tags_mod.get_llm_text_res(output_texts, modality):
+            spans.append((modality, llm_text_res))
+
+    t_start = time.perf_counter()
+    stage_done: Dict[str, float] = {}
+
+    def thunk(modality, text_res):
+        def run():
+            s = dict(samples)
+            s["llm_text_res"] = [text_res]
+            preds = None
+            if modality != "IMAGESTORY":
+                preds = spider_decoder.decode_modality[modality](s)
+            stage_done[modality] = time.perf_counter() - t_start
+            return modality, text_res, preds
+        return run
+
+    futures = orchestrator.dispatch_all(
+        [(m, thunk(m, t)) for m, t in spans
+         if m in orchestrator.decoders or m == "IMAGESTORY"])
+    return [f.result() for f in futures], stage_done
+
+
+def dryrun_concurrent(n_devices: Optional[int] = None, repeats: int = 3):
+    """Exercise per-stage residency on however many devices are visible:
+    tiny SD / ZeroScope / AudioLDM pipelines each placed on their OWN
+    device, one any-to-many request dispatched serially then concurrently.
+    Prints the MULTICHIP concurrent-request line and returns the stats."""
+    import jax
+    import numpy as np
+
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    from spider_tpu.models.pipelines.ad import build_tiny_ad
+    from spider_tpu.models.pipelines.sd import build_tiny_sd
+    from spider_tpu.models.pipelines.vd import build_tiny_vd
+
+    def place(pipe, dev):
+        for attr in ("text_params", "unet_params", "vae_params",
+                     "vocoder_params"):
+            if hasattr(pipe, attr):
+                setattr(pipe, attr, jax.device_put(
+                    getattr(pipe, attr), dev))
+        return pipe
+
+    n = len(devices)
+    sd = place(build_tiny_sd(), devices[1 % n])
+    vd = place(build_tiny_vd(), devices[2 % n])
+    ad = place(build_tiny_ad(), devices[3 % n])
+
+    def img_fn(s):
+        return sd(prompt=s["llm_text_res"], num_inference_steps=4)
+
+    def vid_fn(s):
+        return vd(prompt=s["llm_text_res"], num_inference_steps=4,
+                  height=32, width=32, num_frames=4)
+
+    def aud_fn(s):
+        return ad(prompt=s["llm_text_res"], num_inference_steps=4,
+                  audio_length_in_s=0.5)
+
+    class _Dec:
+        decode_modality = {"IMAGE": img_fn, "VIDEO": vid_fn, "AUDIO": aud_fn}
+
+    samples = {"llm_text_all": [
+        "<IMAGE>a cat</IMAGE><VIDEO>a cat runs</VIDEO><AUDIO>a meow</AUDIO>"]}
+
+    orch = StageOrchestrator({m: None for m in _Dec.decode_modality})
+    # warmup (compile each stage once)
+    run_request_concurrent(_Dec(), samples, orch)
+
+    serial_s = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for fn in _Dec.decode_modality.values():
+            np.asarray(jax.tree_util.tree_leaves(
+                fn({"llm_text_res": samples["llm_text_all"]}))[0])
+        serial_s.append(time.perf_counter() - t0)
+    conc_s = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        events, _ = run_request_concurrent(_Dec(), samples, orch)
+        for _, _, preds in events:
+            np.asarray(jax.tree_util.tree_leaves(preds)[0])
+        conc_s.append(time.perf_counter() - t0)
+    orch.shutdown()
+    stats = dict(
+        serial_s=round(min(serial_s), 4),
+        concurrent_s=round(min(conc_s), 4),
+        overlap_x=round(min(serial_s) / min(conc_s), 2),
+        stages=3, devices=min(len(devices), 4),
+    )
+    # Modeled v5e-8 request latency under per-stage residency: decode +
+    # max(stage) from the LAST MEASURED single-chip stage times (bench.py
+    # writes bench_details stage rows). On this 1-core host the virtual
+    # devices share the core, so the executed overlap_x is a mechanics
+    # check, not a throughput claim — real chips overlap for real.
+    try:
+        import json
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        bench = {}
+        for fname in sorted(os.listdir(root)):
+            if fname.startswith("BENCH_r") and fname.endswith(".json"):
+                with open(os.path.join(root, fname)) as f:
+                    bench = json.load(f)
+        st = (bench.get("parsed", bench) or {}).get("stages_s") or {}
+        if st:
+            decode = st.get("decode", 0.0)
+            rest = [v for k, v in st.items() if k != "decode"]
+            stats["modeled_v5e8_request_s"] = round(decode + max(rest), 2)
+            stats["measured_serial_request_s"] = round(
+                decode + sum(rest), 2)
+    except Exception:
+        pass
+    line = (f"dryrun_concurrent: 3-stage any-to-many request "
+            f"serial={stats['serial_s']}s concurrent={stats['concurrent_s']}s "
+            f"({stats['overlap_x']}x overlap) on {stats['devices']} devices")
+    if "modeled_v5e8_request_s" in stats:
+        line += (f"; modeled v5e-8 per-stage-residency request = "
+                 f"{stats['modeled_v5e8_request_s']}s (vs "
+                 f"{stats['measured_serial_request_s']}s serial 1-chip)")
+    print(line + " OK")
+    return stats

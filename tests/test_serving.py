@@ -406,3 +406,31 @@ def test_http_server_sse_streams_incrementally(decoder_cfg):
     assert b"text/event-stream" in buf.split(b"\r\n\r\n")[0]
     sock.close()
     server.shutdown()
+
+
+def test_stage_orchestrator_concurrent_dispatch():
+    """Stage workers overlap: two slow stages dispatched concurrently
+    finish in ~max, not ~sum (VERDICT r2 item 5 mechanics)."""
+    import time
+
+    from spider_tpu.serving.orchestrator import (StageOrchestrator,
+                                                 run_request_concurrent)
+
+    def slow(name):
+        def fn(s):
+            time.sleep(0.3)
+            return [name]
+        return fn
+
+    class Dec:
+        decode_modality = {"IMAGE": slow("img"), "AUDIO": slow("aud")}
+
+    orch = StageOrchestrator({m: None for m in Dec.decode_modality})
+    samples = {"llm_text_all": ["<IMAGE>a</IMAGE><AUDIO>b</AUDIO>"]}
+    t0 = time.perf_counter()
+    events, stage_done = run_request_concurrent(Dec(), samples, orch)
+    wall = time.perf_counter() - t0
+    orch.shutdown()
+    assert [m for m, _, _ in events] == ["IMAGE", "AUDIO"]
+    assert wall < 0.55, f"stages did not overlap: {wall:.2f}s"
+    assert set(stage_done) == {"IMAGE", "AUDIO"}
