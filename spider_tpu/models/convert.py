@@ -895,7 +895,9 @@ def convert_grounding_dino_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
     }
     # BERT under language_model.*: strip to HF names for the bert converter.
     bert_prefix = "language_model.language_backbone.body.model."
-    bert_sd = {k[len(bert_prefix):]: v for k, v in sd.items()
+    # read via __getitem__ so consumed-key tracking (test_convert_manifests)
+    # sees the whole BERT subtree
+    bert_sd = {k[len(bert_prefix):]: sd[k] for k in list(sd)
                if k.startswith(bert_prefix)}
     p["bert"] = convert_bert_state_dict(bert_sd, cfg.bert)["params"]
     # neck

@@ -79,20 +79,20 @@ def test_embed_extension_preserves_rows():
     assert head1.shape == (cfg.hidden_size, 80)
 
 
-def test_clip_conversion_structure():
-    cfg = clip_tiny(vocab_size=100)
-    rng = np.random.default_rng(0)
+def make_clip_sd(cfg, rng=None):
+    rng = rng or np.random.default_rng(0)
     H, I = cfg.hidden_size, cfg.intermediate_size
     sd = {
         "text_model.embeddings.token_embedding.weight":
-            rng.normal(0, 0.02, (100, H)).astype(np.float32),
+            rng.normal(0, 0.02, (cfg.vocab_size, H)).astype(np.float32),
         "text_model.embeddings.position_embedding.weight":
             rng.normal(0, 0.02, (77, H)).astype(np.float32),
         "text_model.final_layer_norm.weight": np.ones((H,), np.float32),
         "text_model.final_layer_norm.bias": np.zeros((H,), np.float32),
-        "text_projection.weight":
-            rng.normal(0, 0.02, (cfg.projection_dim, H)).astype(np.float32),
     }
+    if cfg.projection_dim:
+        sd["text_projection.weight"] = \
+            rng.normal(0, 0.02, (cfg.projection_dim, H)).astype(np.float32)
     for i in range(cfg.num_hidden_layers):
         b = f"text_model.encoder.layers.{i}."
         for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
@@ -105,7 +105,12 @@ def test_clip_conversion_structure():
         sd[b + "mlp.fc1.bias"] = np.zeros((I,), np.float32)
         sd[b + "mlp.fc2.weight"] = rng.normal(0, 0.02, (H, I)).astype(np.float32)
         sd[b + "mlp.fc2.bias"] = np.zeros((H,), np.float32)
+    return sd
 
+
+def test_clip_conversion_structure():
+    cfg = clip_tiny(vocab_size=100)
+    sd = make_clip_sd(cfg)
     params = convert_clip_text_state_dict(sd, cfg)
     model = CLIPTextModel(cfg)
     ids = jnp.array([[5, 6, 2, 0]])
@@ -116,9 +121,8 @@ def test_clip_conversion_structure():
     assert np.isfinite(np.asarray(last)).all()
 
 
-def test_bert_conversion_structure():
-    cfg = bert_test()
-    rng = np.random.default_rng(0)
+def make_bert_sd(cfg, rng=None):
+    rng = rng or np.random.default_rng(0)
     H, I = cfg.hidden_size, cfg.intermediate_size
     sd = {
         "bert.embeddings.word_embeddings.weight":
@@ -146,7 +150,12 @@ def test_bert_conversion_structure():
         sd[b + "output.dense.bias"] = np.zeros((H,), np.float32)
         sd[b + "output.LayerNorm.weight"] = np.ones((H,), np.float32)
         sd[b + "output.LayerNorm.bias"] = np.zeros((H,), np.float32)
+    return sd
 
+
+def test_bert_conversion_structure():
+    cfg = bert_test()
+    sd = make_bert_sd(cfg)
     params = convert_bert_state_dict(sd, cfg)
     model = BertModel(cfg)
     ids = jnp.array([[1, 5, 9, 0]])

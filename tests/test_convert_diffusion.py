@@ -56,9 +56,10 @@ def _emit_vae_attn(sd, torch_pre, p):
     _emit_module(sd, torch_pre + ".to_out.0", p["proj_out"])
 
 
-@pytest.mark.slow
-def test_vae_converter_roundtrip():
-    cfg = vae_tiny()
+def make_vae_sd(cfg):
+    """Inverse-emit a diffusers AutoencoderKL state dict from a random
+    init; key names depend only on depth, so at a depth-true config the
+    key set IS the real checkpoint's (manifest fixtures)."""
     model = AutoencoderKL(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
     enc = params["params"]["encoder"]
@@ -96,6 +97,13 @@ def test_vae_converter_roundtrip():
             _emit_module(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv",
                          dec[f"up_{i}_upsample"])
 
+    return sd, model, params
+
+
+@pytest.mark.slow
+def test_vae_converter_roundtrip():
+    cfg = vae_tiny()
+    sd, model, params = make_vae_sd(cfg)
     converted = convert_vae_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)
@@ -126,13 +134,21 @@ def _emit_unet_attn(sd, pre, p, depth):
         _emit_tfm_block(sd, f"{pre}.transformer_blocks.{k}", p[f"block_{k}"])
 
 
-@pytest.mark.slow
-def test_unet2d_converter_roundtrip():
-    cfg = unet_tiny()
+def make_unet2d_sd(cfg):
     model = UNet2DConditionModel(cfg)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+    added = None
+    if cfg.addition_embed_type == "text_time":       # SDXL
+        tid_dim = 6 * cfg.addition_time_embed_dim
+        added = {"text_embeds": jnp.zeros(
+                     (1, cfg.projection_class_embeddings_input_dim - tid_dim)),
+                 "time_ids": jnp.zeros((1, 6))}
+    elif cfg.addition_embed_type == "class_embed":   # AudioLDM
+        added = {"class_embeds": jnp.zeros((1, cfg.cross_attention_dim))}
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, 8, cfg.in_channels)),
                            jnp.zeros((1,), jnp.int32),
-                           jnp.zeros((1, 7, cfg.cross_attention_dim)))
+                           jnp.zeros((1, 7, cfg.cross_attention_dim)),
+                           added_cond=added)
     params = {"params": variables["params"]}  # drop the sown 'story' capture
     p = params["params"]
     n = len(cfg.block_out_channels)
@@ -142,6 +158,12 @@ def test_unet2d_converter_roundtrip():
     _emit_module(sd, "time_embedding.linear_2", p["time_embed_2"])
     _emit_module(sd, "conv_norm_out", p["norm_out"])
     _emit_module(sd, "conv_out", p["conv_out"])
+    if cfg.addition_embed_type == "text_time":         # SDXL
+        _emit_module(sd, "add_embedding.linear_1", p["add_embed_1"])
+        _emit_module(sd, "add_embedding.linear_2", p["add_embed_2"])
+    elif cfg.addition_embed_type == "class_embed":     # AudioLDM
+        _emit_module(sd, "class_embedding.linear_1", p["class_embed_1"])
+        _emit_module(sd, "class_embedding.linear_2", p["class_embed_2"])
     for i in range(n):
         for j in range(cfg.layers_per_block):
             _emit_resnet(sd, f"down_blocks.{i}.resnets.{j}",
@@ -171,6 +193,13 @@ def test_unet2d_converter_roundtrip():
             _emit_module(sd, f"up_blocks.{i}.upsamplers.0.conv",
                          p[f"up_{i}_upsample"])
 
+    return sd, model, params
+
+
+@pytest.mark.slow
+def test_unet2d_converter_roundtrip():
+    cfg = unet_tiny()
+    sd, model, params = make_unet2d_sd(cfg)
     converted = convert_unet2d_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)
@@ -181,12 +210,9 @@ def test_unet2d_converter_roundtrip():
                                    err_msg=str(pa))
 
 
-@pytest.mark.slow
-def test_sam_converter_roundtrip():
-    from spider_tpu.models.convert import convert_sam_state_dict
-    from spider_tpu.models.sam import Sam, sam_tiny
+def make_sam_sd(cfg):
+    from spider_tpu.models.sam import Sam
 
-    cfg = sam_tiny()
     model = Sam(cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 3, cfg.img_size, cfg.img_size)),
@@ -263,6 +289,16 @@ def test_sam_converter_roundtrip():
     _emit_module(sd, ih + "1", md["iou_fc1"])
     _emit_module(sd, ih + "2", md["iou_out"])
 
+    return sd, model, params
+
+
+@pytest.mark.slow
+def test_sam_converter_roundtrip():
+    from spider_tpu.models.convert import convert_sam_state_dict
+    from spider_tpu.models.sam import sam_tiny
+
+    cfg = sam_tiny()
+    sd, model, params = make_sam_sd(cfg)
     converted = convert_sam_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)
@@ -273,11 +309,9 @@ def test_sam_converter_roundtrip():
                                    err_msg=str(pa))
 
 
-def test_imagebind_converter_roundtrip():
-    from spider_tpu.models.convert import convert_imagebind_state_dict
-    from spider_tpu.models.imagebind import ImageBindEncoder, imagebind_tiny
+def make_imagebind_sd(cfg):
+    from spider_tpu.models.imagebind import ImageBindEncoder
 
-    cfg = imagebind_tiny()
     model = ImageBindEncoder(cfg)
     params = model.init(
         jax.random.PRNGKey(0),
@@ -313,6 +347,15 @@ def test_imagebind_converter_roundtrip():
         sd[f"modality_heads.{m}.2.weight"] = \
             np.asarray(p[f"{m}_head"]["kernel"]).T
 
+    return sd, model, params
+
+
+def test_imagebind_converter_roundtrip():
+    from spider_tpu.models.convert import convert_imagebind_state_dict
+    from spider_tpu.models.imagebind import imagebind_tiny
+
+    cfg = imagebind_tiny()
+    sd, model, params = make_imagebind_sd(cfg)
     converted = convert_imagebind_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)
@@ -323,14 +366,11 @@ def test_imagebind_converter_roundtrip():
                                    err_msg=str(pa))
 
 
-@pytest.mark.slow
-def test_swin_converter_roundtrip():
-    from spider_tpu.models.convert import convert_swin_state_dict
-    from spider_tpu.models.swin import SwinTransformer, swin_test
+def make_swin_sd(cfg, img=32):
+    from spider_tpu.models.swin import SwinTransformer
 
-    cfg = swin_test()
     model = SwinTransformer(cfg)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, img, img)))
     p = params["params"]
     sd = {}
     _emit_module(sd, "backbone.patch_embed.projection", p["patch_embed"])
@@ -358,6 +398,16 @@ def test_swin_converter_roundtrip():
         if s in cfg.out_indices:
             _emit_module(sd, f"backbone.norm{s}", p[f"out_norm{s}"])
 
+    return sd, model, params
+
+
+@pytest.mark.slow
+def test_swin_converter_roundtrip():
+    from spider_tpu.models.convert import convert_swin_state_dict
+    from spider_tpu.models.swin import swin_test
+
+    cfg = swin_test()
+    sd, model, params = make_swin_sd(cfg)
     converted = convert_swin_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)
@@ -368,11 +418,9 @@ def test_swin_converter_roundtrip():
                                    err_msg=str(pa))
 
 
-def test_hifigan_converter_roundtrip():
-    from spider_tpu.models.convert import convert_hifigan_state_dict
-    from spider_tpu.models.vocoder import HifiGan, hifigan_tiny
+def make_hifigan_sd(cfg):
+    from spider_tpu.models.vocoder import HifiGan
 
-    cfg = hifigan_tiny()
     model = HifiGan(cfg)
     mel = jnp.zeros((1, 10, cfg.model_in_dim))
     params = model.init(jax.random.PRNGKey(0), mel)
@@ -404,6 +452,15 @@ def test_hifigan_converter_roundtrip():
                 sd[r + f"convs2.{d}.weight"] = inv1d(blk[f"conv2_{d}"]["kernel"])
                 sd[r + f"convs2.{d}.bias"] = np.asarray(blk[f"conv2_{d}"]["bias"])
 
+    return sd, model, params
+
+
+def test_hifigan_converter_roundtrip():
+    from spider_tpu.models.convert import convert_hifigan_state_dict
+    from spider_tpu.models.vocoder import hifigan_tiny
+
+    cfg = hifigan_tiny()
+    sd, model, params = make_hifigan_sd(cfg)
     converted = convert_hifigan_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)
@@ -454,11 +511,9 @@ def _emit_temporal_transformer(sd, pre, p, depth=1):
 
 
 @pytest.mark.slow
-def test_unet3d_converter_roundtrip():
-    from spider_tpu.models.convert import convert_unet3d_state_dict
-    from spider_tpu.models.unet3d import UNet3DConditionModel, unet3d_tiny
+def make_unet3d_sd(cfg):
+    from spider_tpu.models.unet3d import UNet3DConditionModel
 
-    cfg = unet3d_tiny()
     model = UNet3DConditionModel(cfg)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 4)),
                            jnp.zeros((1,), jnp.int32),
@@ -512,6 +567,16 @@ def test_unet3d_converter_roundtrip():
             _emit_module(sd, f"up_blocks.{i}.upsamplers.0.conv",
                          p[f"up_{i}_upsample"])
 
+    return sd, model, params
+
+
+@pytest.mark.slow
+def test_unet3d_converter_roundtrip():
+    from spider_tpu.models.convert import convert_unet3d_state_dict
+    from spider_tpu.models.unet3d import unet3d_tiny
+
+    cfg = unet3d_tiny()
+    sd, model, params = make_unet3d_sd(cfg)
     converted = convert_unet3d_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)
@@ -522,11 +587,9 @@ def test_unet3d_converter_roundtrip():
                                    err_msg=str(pa))
 
 
-def test_clap_converter_roundtrip():
-    from spider_tpu.models.clip_text import ClapTextModel, clap_tiny
-    from spider_tpu.models.convert import convert_clap_text_state_dict
+def make_clap_sd(cfg):
+    from spider_tpu.models.clip_text import ClapTextModel
 
-    cfg = clap_tiny()
     model = ClapTextModel(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 6), jnp.int32))
     p = params["params"]
@@ -549,6 +612,16 @@ def test_clap_converter_roundtrip():
         _emit_module(sd, b + "output.dense", p[f"l{i}_fc2"])
         _emit_module(sd, b + "output.LayerNorm", p[f"l{i}_ln2"])
 
+    return sd, model, params
+
+
+@pytest.mark.slow
+def test_clap_converter_roundtrip():
+    from spider_tpu.models.clip_text import clap_tiny
+    from spider_tpu.models.convert import convert_clap_text_state_dict
+
+    cfg = clap_tiny()
+    sd, model, params = make_clap_sd(cfg)
     converted = convert_clap_text_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)
@@ -560,11 +633,9 @@ def test_clap_converter_roundtrip():
 
 
 @pytest.mark.slow
-def test_grounding_dino_converter_roundtrip():
-    from spider_tpu.models.convert import convert_grounding_dino_state_dict
-    from spider_tpu.models.dino import GroundingDINO, grounding_dino_test
+def make_grounding_dino_sd(cfg):
+    from spider_tpu.models.dino import GroundingDINO
 
-    cfg = grounding_dino_test()
     model = GroundingDINO(cfg)
     ids = jnp.ones((1, cfg.max_text_len), jnp.int32)
     mask = jnp.ones((1, cfg.max_text_len), jnp.int32)
@@ -704,6 +775,16 @@ def test_grounding_dino_converter_roundtrip():
     sd[f"bbox_head.cls_branches.{cfg.dec_layers}.bias"] = \
         np.asarray(p["enc_cls_bias"])
 
+    return sd, model, params
+
+
+@pytest.mark.slow
+def test_grounding_dino_converter_roundtrip():
+    from spider_tpu.models.convert import convert_grounding_dino_state_dict
+    from spider_tpu.models.dino import grounding_dino_test
+
+    cfg = grounding_dino_test()
+    sd, model, params = make_grounding_dino_sd(cfg)
     converted = convert_grounding_dino_state_dict(sd, cfg)
     assert jax.tree_util.tree_structure(converted) == \
         jax.tree_util.tree_structure(params)

@@ -1,0 +1,93 @@
+"""Converter key-manifest contract tests (VERDICT r2 item 8).
+
+Two guarantees per family:
+  1. The checked-in fixture (tests/fixtures/convert_keys/<family>.txt) is
+     exactly what the depth-true emitter produces today — any converter or
+     emitter change that alters the key contract fails here until the
+     fixture is regenerated (tools/gen_converter_manifests.py) and the
+     diff reviewed.
+  2. The converter CONSUMES every key of its manifest (TrackingDict):
+     no source tensor is silently ignored, the failure mode a pure
+     roundtrip test cannot see.
+
+With real checkpoints mounted, tools/verify_checkpoints.py diffs the real
+state dict against the same fixtures in one command.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "convert_keys")
+
+# Cheap families run in the default tier; the deep towers are slow-marked.
+FAST = ("clip_vit_l14", "bert_base", "clap_text", "vae_sd", "vae_audioldm",
+        "hifigan_audioldm", "swin_t", "llama3_8b")
+SLOW = ("clip_vit_h14", "clip_bigg", "unet_sd15", "unet_sdxl",
+        "unet_audioldm", "unet3d_zeroscope", "sam_vit_h", "imagebind_huge",
+        "grounding_dino_swin_t")
+
+
+class TrackingDict(dict):
+    """Records which keys a converter actually reads."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        self.consumed.add(k)
+        return v
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            return self[k]
+        return default
+
+
+def _families():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from convert_manifest_defs import families
+
+    return families()
+
+
+def _check(name):
+    fams = _families()
+    cfg, make_sd, convert = fams[name]
+    sd = make_sd(cfg)
+    fixture_path = os.path.join(FIXDIR, f"{name}.txt")
+    assert os.path.exists(fixture_path), \
+        f"missing fixture — run tools/gen_converter_manifests.py ({name})"
+    with open(fixture_path) as f:
+        fixture = [l for l in f.read().splitlines() if l]
+    assert sorted(sd) == fixture, (
+        f"{name}: manifest drifted from fixture "
+        f"(+{sorted(set(sd) - set(fixture))[:5]} "
+        f"-{sorted(set(fixture) - set(sd))[:5]}) — regenerate via "
+        "tools/gen_converter_manifests.py and review the diff")
+    tracked = TrackingDict(sd)
+    convert(tracked, cfg)
+    unconsumed = sorted(set(sd) - tracked.consumed)
+    assert not unconsumed, (
+        f"{name}: converter silently ignores {len(unconsumed)} source "
+        f"tensors, e.g. {unconsumed[:8]}")
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_manifest_fast(name):
+    _check(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SLOW)
+def test_manifest_slow(name):
+    _check(name)
+
+
+def test_every_family_has_a_tier():
+    assert set(FAST) | set(SLOW) == set(_families())
