@@ -187,6 +187,16 @@ def main():
             "unit": "s/request",
             "vs_baseline": round(A100_REFERENCE_REQUEST_S / total, 3),
             "stages_s": {k: round(v, 2) for k, v in stages.items()},
+            # decode row alongside e2e (r2 review ask): same-stage tok/s
+            # and its baseline ratio vs the 125 tok/s A100 target
+            "decode_tok_s": round(NEW_TOKENS / stages["decode"], 1),
+            "decode_vs_125_target": round(
+                NEW_TOKENS / stages["decode"] / 125.0, 3),
+            # per-stage-residency v5e-8 serving model (decode + slowest
+            # stage; mechanics dryrun-validated in serving/orchestrator.py)
+            "modeled_v5e8_request_s": round(
+                stages["decode"] + max(v for k, v in stages.items()
+                                       if k != "decode"), 2),
         }
     else:
         result = {

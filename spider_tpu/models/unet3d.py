@@ -93,33 +93,30 @@ class TemporalBasicBlock(nn.Module):
     """BasicTransformerBlock over the frame axis (attn1 + attn2 both
     self-attention here — diffusers passes no temporal context).
 
-    Input is [B, F, P, C] (pixels stay in place); frame-axis attention is
-    an einsum with per-pixel [F, F] logits — F is tiny (16), so the logits
-    are small and no pixel-major transpose is ever materialized."""
+    Input is [B, F, P, C] (pixels stay in place); the frame-axis attention
+    core routes through ops.temporal_attention — the (head, frame)-folded
+    masked full-tile formulation that replaced ~46k tiny einsum matmuls
+    per call (exact; 5.7 -> 3.1 ms per core at ZeroScope's 40x72 level)."""
 
     heads: int
     dtype: Any
 
     @nn.compact
     def __call__(self, h):
+        from spider_tpu.ops.temporal_attention import temporal_attention
+
         C = h.shape[-1]
         nh = self.heads
-        d = C // nh
 
         def attn(name, x):
-            B, F, P, _ = x.shape
             q = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f"{name}_q")(x).reshape(B, F, P, nh, d)
+                         name=f"{name}_q")(x)
             k = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f"{name}_k")(x).reshape(B, F, P, nh, d)
+                         name=f"{name}_k")(x)
             v = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f"{name}_v")(x).reshape(B, F, P, nh, d)
-            logits = jnp.einsum("bfphd,bgphd->bphfg", q, k)
-            logits = logits.astype(jnp.float32) / (d ** 0.5)
-            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bphfg,bgphd->bfphd", probs, v)
-            return nn.Dense(C, dtype=self.dtype, name=f"{name}_out")(
-                out.reshape(B, F, P, C))
+                         name=f"{name}_v")(x)
+            out = temporal_attention(q, k, v, nh)
+            return nn.Dense(C, dtype=self.dtype, name=f"{name}_out")(out)
 
         h = h + attn("attn1", nn.LayerNorm(dtype=self.dtype, name="norm1")(h))
         h = h + attn("attn2", nn.LayerNorm(dtype=self.dtype, name="norm2")(h))

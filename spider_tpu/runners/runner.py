@@ -106,6 +106,13 @@ class RunnerBase:
         if not mesh_cfg:
             mesh_cfg = {"data": len(jax.devices())}
         self.mesh = dist.make_mesh(**mesh_cfg)
+        if self.mesh.shape.get("context", 1) > 1 and \
+                getattr(self.model, "llm", None) is not None:
+            # Context-parallel training: the Spider LLM's training forward
+            # runs ring attention over the `context` axis (a capability
+            # the reference lacks — it truncates, SURVEY.md §2.3 SP/CP).
+            self.model.llm = type(self.model.llm)(
+                self.model.llm.config.with_context_parallel(self.mesh))
         self._param_shardings = partition.tree_shardings(
             params, self.mesh, partition.SPIDER_RULES)
         self.params = jax.tree_util.tree_map(jax.device_put, params,

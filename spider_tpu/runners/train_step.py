@@ -160,9 +160,19 @@ def _opt_state_shardings(opt_state, params, param_shardings, mesh):
 
 
 def make_jitted_train_step(model, tx, mesh: Mesh, state: TrainState):
-    """jit the step with explicit state shardings and data-sharded batches."""
+    """jit the step with explicit state shardings and data-sharded batches.
+
+    If the mesh has a `context` axis > 1, the model is rebuilt with
+    context-parallel ring attention (LlamaConfig.with_context_parallel)
+    and the batch's sequence dim shards over that axis — long-context
+    training the reference can only truncate away (SURVEY.md §2.3 SP/CP).
+    """
     state_shardings = jax.tree_util.tree_map(lambda x: x.sharding, state)
-    batch_sharding = NamedSharding(mesh, P(("data", "fsdp"), None))
+    seq_axis = None
+    if mesh.shape.get("context", 1) > 1:
+        model = type(model)(model.config.with_context_parallel(mesh))
+        seq_axis = "context"
+    batch_sharding = NamedSharding(mesh, P(("data", "fsdp"), seq_axis))
     step = make_lm_train_step(model, tx, state_shardings.params)
     return jax.jit(
         step,

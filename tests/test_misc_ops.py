@@ -50,3 +50,21 @@ def test_conversation_prompt():
     assert "hi" in p
     chat = conv.to_gradio_chatbot()
     assert chat == [["hi", None]]
+
+
+def test_temporal_attention_matches_einsum():
+    """Masked (head,frame)-folded formulation == per-head einsum, both
+    code paths (ops/temporal_attention.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spider_tpu.ops.temporal_attention import temporal_attention
+
+    B, F, P, C, H = 2, 6, 320, 32, 4
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (B, F, P, C)), jnp.float32)
+               for _ in range(3))
+    ref = temporal_attention(q, k, v, H, use_blockdiag=False)
+    out = temporal_attention(q, k, v, H, use_blockdiag=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)

@@ -80,3 +80,29 @@ def test_runner_eval_split(cfg, tmp_path):
     results = runner.eval_epoch("val", max_batches=1)
     assert results and "loss" in results[0]
     assert np.isfinite(results[0]["loss"])
+
+
+@pytest.mark.slow
+def test_runner_context_parallel(tmp_path):
+    """spider_longctx_train.py: Spider trains with the LLM's ring
+    attention over a context=4 mesh axis (runner wires
+    with_context_parallel from run.mesh)."""
+    from spider_tpu import tasks
+
+    register_all()
+    import spider_tpu.runners.runner  # noqa: F401
+
+    cfg = Config.fromfile(os.path.join(
+        os.path.dirname(__file__), "..", "train_configs",
+        "spider_longctx_train.py"))
+    cfg.run.output_dir = str(tmp_path / "out")
+    cfg.run.iters_per_epoch = 1
+    task = tasks.setup_task(cfg)
+    datasets = task.build_datasets(cfg)
+    model = task.build_model(cfg)
+    runner_cls = registry.get_runner_class("runner_base")
+    runner = runner_cls(cfg=cfg, task=task, model=model, datasets=datasets,
+                        job_id="cp_test")
+    assert model.llm.config.context_mesh is not None   # CP actually wired
+    stats = runner.train()
+    assert np.isfinite(float(stats["loss"]))

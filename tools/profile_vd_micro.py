@@ -19,13 +19,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, n=10):
-    out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out)  # fence through the relay
+def timed(apply_fn, params, x, *extra, n=10):
+    """Time a shape-preserving block: chain n applications inside ONE jit
+    (lax.scan) and return only a f32 scalar, so neither per-dispatch relay
+    latency (~30 ms) nor multi-MB output transfers pollute the number."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def chain(p, x0):
+        def body(c, _):
+            return apply_fn(p, c, *extra), None
+        out, _ = lax.scan(body, x0, None, length=n)
+        return jnp.sum(out.astype(jnp.float32))
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)  # device-resident
+    run = jax.jit(chain)
+    float(run(params, x))                    # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out)
+    float(run(params, x))                    # one dispatch, scalar fence
     return (time.perf_counter() - t0) / n
 
 
@@ -65,27 +76,23 @@ def main():
 
         tc = U3.TemporalConv(ch, groups, dtype)
         p = random_params_like(tc, rng, x5)
-        fn = jax.jit(lambda p, x: tc.apply(p, x))
-        rows["tconv"] = (timed(fn, p, x5), n_tc)
+        rows["tconv"] = (timed(tc.apply, p, x5), n_tc)
 
         ta = U3.TransformerTemporal(8, groups, dtype)
         p = random_params_like(ta, rng, x5)
-        fn = jax.jit(lambda p, x: ta.apply(p, x))
-        rows["tattn"] = (timed(fn, p, x5), n_ta)
+        rows["tattn"] = (timed(ta.apply, p, x5), n_ta)
 
         a2 = U2.Transformer2D(8, 1, groups, dtype)
         p = random_params_like(a2, rng, xf, ctx)
-        fn = jax.jit(lambda p, x, c: a2.apply(p, x, c))
-        rows["attn2d"] = (timed(fn, p, xf, ctx), n_a2)
+        rows["attn2d"] = (timed(a2.apply, p, xf, ctx), n_a2)
 
         rs = U2.ResnetBlock2D(ch, groups, dtype)
         p = random_params_like(rs, rng, xf, temb)
-        fn = jax.jit(lambda p, x, t: rs.apply(p, x, t))
-        rows["resnet"] = (timed(fn, p, xf, temb), n_rs)
+        rows["resnet"] = (timed(rs.apply, p, xf, temb), n_rs)
 
         for k, (dt, n) in rows.items():
             total[k] = total.get(k, 0.0) + dt * n
-            print(f"L{level} ch{ch:４} {k:7s} {dt*1e3:7.2f} ms x{n} "
+            print(f"L{level} ch{ch:4} {k:7s} {dt*1e3:7.2f} ms x{n} "
                   f"= {dt*n*1e3:8.1f} ms", flush=True)
 
     print("---- totals (sum of isolated blocks)")
