@@ -95,7 +95,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         l0 = jnp.zeros(q.shape[:3], jnp.float32)
         # mark initial carries as device-varying over the ring axis (they
         # become varying through the ppermute loop)
-        acc0, m0, l0 = jax.lax.pvary((acc0, m0, l0), (axis,))
+        acc0, m0, l0 = jax.lax.pcast((acc0, m0, l0), (axis,), to='varying')
         (k_f, v_f, acc, m_run, l_run), _ = jax.lax.scan(
             step, (k, v, acc0, m0, l0), jnp.arange(n))
         out = acc / jnp.maximum(l_run, 1e-20)[..., None]

@@ -49,7 +49,7 @@ def gpipe(fn: Callable, stage_params, microbatches: jnp.ndarray,
             return out, (y, emit)
 
         init = jnp.zeros(mb_shape, microbatches.dtype)
-        init = jax.lax.pvary(init, (axis,))
+        init = jax.lax.pcast(init, (axis,), to='varying')
         _, (ys, emits) = jax.lax.scan(tick, init,
                                       jnp.arange(M + S - 1))
         # compact the emitted ticks into [M, ...] (ticks S-1 .. S+M-2)
