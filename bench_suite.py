@@ -219,6 +219,52 @@ def bench_paged_serving(num_requests: int = 24, new_tokens: int = 48):
                 **{k.replace(" ", "_"): v for k, v in results.items()})
 
 
+def bench_speculative_decode(prompt_len: int = 128, new_tokens: int = 128):
+    """bs=1 greedy decode with prompt-lookup speculation (8B int8): tokens
+    committed per dispatch vs the single-step loop. CAVEAT recorded in the
+    row: a random-init model's greedy stream is unusually repetitive, so
+    the measured acceptance is an upper band; the same harness reruns with
+    real weights unchanged (speculation is exact for greedy either way)."""
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.decode import GenerateConfig, generate
+    from spider_tpu.models.speculative import (PromptLookupConfig,
+                                               speculative_generate)
+
+    cfg = dataclasses.replace(L.llama3_8b(), quantization="int8",
+                              param_dtype=jnp.bfloat16)
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    rng = np.random.default_rng(0)
+    ids = [int(t) for t in rng.integers(10, 5000, prompt_len)]
+
+    # baseline: jitted scan decode (one weight sweep per token)
+    emb = model.apply(params, jnp.asarray([ids], jnp.int32),
+                      method=model.embed)
+    plen = jnp.asarray([prompt_len], jnp.int32)
+    gcfg = GenerateConfig(max_new_tokens=new_tokens, temperature=0.0)
+    out = generate(model, params, emb, plen, gcfg)
+    base_toks = [int(t) for t in np.asarray(out["tokens"][0])]
+    t0 = time.perf_counter()
+    out = generate(model, params, emb, plen, gcfg)
+    _ = np.asarray(out["tokens"])
+    base_s = time.perf_counter() - t0
+
+    pcfg = PromptLookupConfig(max_new_tokens=new_tokens, gamma=8)
+    spec_toks = speculative_generate(model, params, ids, pcfg)   # warm
+    t0 = time.perf_counter()
+    spec_toks = speculative_generate(model, params, ids, pcfg)
+    spec_s = time.perf_counter() - t0
+    assert spec_toks[: len(base_toks)] == base_toks[: len(spec_toks)], \
+        "speculative decode diverged from greedy"
+
+    return dict(metric="8B int8 bs=1 greedy decode tok/s "
+                       "(prompt-lookup speculative, gamma=8)",
+                value=round(new_tokens / spec_s, 1), unit="tokens/s/chip",
+                baseline_scan_tok_s=round(new_tokens / base_s, 1),
+                note="random-init greedy streams repeat; acceptance is an "
+                     "upper band, exactness holds for any weights")
+
+
 def bench_detection():
     """Grounding DINO swin-T forward + SAM ViT-H box-prompted mask — the
     BASELINE det/seg operating points (spider_decoder.py:266, build_sam.py:15).
@@ -378,6 +424,8 @@ def main():
         results.append(bench_detection())
     if which in ("paged",):
         results.append(bench_paged_serving())
+    if which in ("speculative",):
+        results.append(bench_speculative_decode())
 
     # merge-by-metric into bench_details.json (never truncate: rows from
     # other modes are the perf record the docs cite)

@@ -212,3 +212,47 @@ def test_remat_flag_matches_forward_and_grads():
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_prompt_lookup_speculative_matches_greedy():
+    """Speculative decode commits the EXACT greedy stream (speculation
+    changes latency, never results) — repetitive prompt so the n-gram
+    drafts actually accept."""
+    import numpy as np
+
+    from spider_tpu.models.decode import GenerateConfig, generate
+    from spider_tpu.models.speculative import (PromptLookupConfig,
+                                               speculative_generate)
+
+    cfg = L.llama_tiny(vocab_size=64)
+    model = L.LlamaForCausalLM(cfg)
+    ids = [3, 9, 4, 7, 3, 9, 4, 7, 3, 9]   # repeating 4-gram
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray([ids], jnp.int32))
+
+    N = 24
+    embeds = model.apply(params, jnp.asarray([ids], jnp.int32),
+                         method=model.embed)
+    ref = generate(model, params, embeds,
+                   jnp.asarray([len(ids)], jnp.int32),
+                   GenerateConfig(max_new_tokens=N, temperature=0.0,
+                                  eos_ids=(63,), pad_id=0))
+    ref_toks = [int(t) for t in np.asarray(ref["tokens"][0])]
+    if 63 in ref_toks:
+        ref_toks = ref_toks[:ref_toks.index(63) + 1]
+
+    for gamma in (2, 4, 8):
+        got = speculative_generate(
+            model, params, ids,
+            PromptLookupConfig(max_new_tokens=N, gamma=gamma,
+                               eos_ids=(63,), pad_id=0))
+        assert got[:len(ref_toks)] == ref_toks, (gamma, got, ref_toks)
+
+
+def test_prompt_lookup_propose():
+    from spider_tpu.models.speculative import propose
+
+    seq = [1, 2, 3, 9, 8, 1, 2, 3]
+    assert propose(seq, 2, 3, 0) == [9, 8]     # 3-gram [1,2,3] -> 9,8
+    assert propose([5, 6, 7], 3, 3, 0) == [0, 0, 0]  # no repeat -> pads
+    assert propose([4, 4], 2, 3, 0) == [4, 0]  # 1-gram fallback
