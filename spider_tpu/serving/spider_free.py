@@ -168,9 +168,14 @@ class SpiderFree:
 
 
 def make_llama_chat_fn(model, params, tokenizer, max_new_tokens: int = 512,
-                       temperature: float = 0.0):
+                       temperature: float = 0.0,
+                       speculative: bool = False):
     """Default chat backbone: jitted greedy/top-p decode on the in-framework
-    Llama (the r1_llama3_8B path, cf. /root/reference/r1_llama3_8B_infer.py)."""
+    Llama (the r1_llama3_8B path, cf. /root/reference/r1_llama3_8B_infer.py).
+
+    speculative=True (greedy only) decodes with prompt-lookup speculation
+    (models/speculative.py): identical output, multiple tokens per
+    dispatch — pays off on Spider's caption-echoing tagged answers."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -179,6 +184,17 @@ def make_llama_chat_fn(model, params, tokenizer, max_new_tokens: int = 512,
 
     def chat_fn(prompt: str) -> str:
         ids = tokenizer(prompt, add_special_tokens=True).input_ids
+        if speculative and temperature <= 0.0:
+            from spider_tpu.models.speculative import (PromptLookupConfig,
+                                                       speculative_generate)
+
+            toks = speculative_generate(
+                model, params, ids,
+                PromptLookupConfig(max_new_tokens=max_new_tokens,
+                                   eos_ids=(tokenizer.eos_token_id,),
+                                   pad_id=tokenizer.pad_token_id))
+            toks = [t for t in toks if t != tokenizer.pad_token_id]
+            return tokenizer.decode(toks, skip_special_tokens=True)
         arr = jnp.asarray([ids], jnp.int32)
         embeds = model.apply(params, arr, method=model.embed)
         out = generate(

@@ -434,3 +434,26 @@ def test_stage_orchestrator_concurrent_dispatch():
     assert [m for m, _, _ in events] == ["IMAGE", "AUDIO"]
     assert wall < 0.55, f"stages did not overlap: {wall:.2f}s"
     assert set(stage_done) == {"IMAGE", "AUDIO"}
+
+
+def test_llama_chat_fn_speculative_matches_plain(decoder_cfg):
+    """make_llama_chat_fn(speculative=True) returns the same text as the
+    plain greedy path."""
+    from spider_tpu.models import llama as L
+    from spider_tpu.models.tokenizer import TinyTokenizer
+    from spider_tpu.serving.spider_free import make_llama_chat_fn
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = L.llama_tiny(vocab_size=None)
+    tok = TinyTokenizer()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, vocab_size=max(tok.vocab_size, 64))
+    model = L.LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    plain = make_llama_chat_fn(model, params, tok, max_new_tokens=24)
+    spec = make_llama_chat_fn(model, params, tok, max_new_tokens=24,
+                              speculative=True)
+    prompt = "describe a cat and a cat and a cat"
+    assert spec(prompt) == plain(prompt)
