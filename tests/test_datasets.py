@@ -138,3 +138,31 @@ def test_shard_writer_roundtrip(tmp_path):
     samples = list(itertools.islice(iter(src), 5))
     assert len(samples) == 5
     assert {s["json"]["idx"] for s in samples} == set(range(5))
+
+
+def test_randaugment_ops_shapes_and_ranges():
+    """Every RandAugment op preserves shape/dtype; level mappings match
+    the reference semantics (randaugment.py level_to_args)."""
+    import numpy as np
+
+    from spider_tpu.processors import randaugment as RA
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    for name, (fn, to_args) in RA.OPS.items():
+        out = fn(img, *to_args(5, rng))
+        assert out.shape == img.shape and out.dtype == np.uint8, name
+    # deterministic geometric checks
+    assert np.array_equal(RA.translate_x(img, 0.0), img)
+    rolled = RA.translate_x(img, 4.0)       # dst[x] = src[x+offset]
+    assert np.array_equal(rolled[:, :-4], img[:, 4:])   # shifted content
+    assert (rolled[:, -4:] == 0).all()                  # fill (default 0)
+    assert np.array_equal(RA.posterize(img, 8), img)
+    assert set(np.unique(RA.posterize(img, 1) & 0x7F)) == {0}
+    sol = RA.solarize(img, 128)
+    assert np.array_equal(sol[img < 128], img[img < 128])
+    assert np.array_equal(sol[img >= 128], 255 - img[img >= 128])
+    # pipeline runs
+    aug = RA.RandomAugment(N=2, M=5, rng=np.random.default_rng(1))
+    out = aug(img)
+    assert out.shape == img.shape
