@@ -222,3 +222,34 @@ class RandomAugment:
             fn, to_args = OPS[name]
             img = fn(img, *to_args(self.M, self.rng))
         return img
+
+
+class VideoRandomAugment:
+    """Per-clip RandAugment: ONE op set sampled per clip (without
+    replacement), applied per-frame with keep-probability 1-p — the
+    reference's VideoRandomAugment contract on numpy [F, H, W, 3]."""
+
+    def __init__(self, N: int = 2, M: int = 10, p: float = 0.0,
+                 augs: Optional[Sequence[str]] = None,
+                 rng: Optional[np.random.Generator] = None):
+        self.N = N
+        self.M = M
+        self.p = p
+        self.augs = list(augs) if augs else list(OPS)
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        assert frames.shape[-1] == 3, "expect [F, H, W, 3]"
+        if frames.dtype != np.uint8:
+            frames = np.clip(frames, 0, 255).astype(np.uint8)
+        names = self.rng.choice(self.augs, self.N, replace=False)
+        out = []
+        for img in frames:
+            for name in names:
+                if self.rng.random() <= self.p:
+                    continue
+                fn, to_args = OPS[name]
+                img = fn(np.ascontiguousarray(img),
+                         *to_args(self.M, self.rng))
+            out.append(img)
+        return np.stack(out).astype(np.float32)

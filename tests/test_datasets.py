@@ -166,3 +166,15 @@ def test_randaugment_ops_shapes_and_ranges():
     aug = RA.RandomAugment(N=2, M=5, rng=np.random.default_rng(1))
     out = aug(img)
     assert out.shape == img.shape
+
+
+def test_video_randaugment_runs():
+    import numpy as np
+
+    from spider_tpu.processors.randaugment import VideoRandomAugment
+
+    frames = np.random.default_rng(0).integers(
+        0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    aug = VideoRandomAugment(N=2, M=5, rng=np.random.default_rng(2))
+    out = aug(frames)
+    assert out.shape == frames.shape and out.dtype == np.float32
