@@ -189,9 +189,24 @@ class CrossAttention(nn.Module):
         v = to_v(ctx)
         if extra_kv is not None:
             # Consistent self-attention: prepend reference tokens' K/V
-            # (StoryDiffusion's SpatialAttnProcessor2_0 semantics).
-            k = jnp.concatenate([to_k(extra_kv), k], axis=1)
-            v = jnp.concatenate([to_v(extra_kv), v], axis=1)
+            # (StoryDiffusion's SpatialAttnProcessor2_0 semantics). A bank
+            # with a smaller leading dim is per-GROUP shared tokens:
+            # project once, then broadcast the projections to the group's
+            # rows — the pre-projection broadcast recomputed the same K/V
+            # B times (~100 GFLOP/up-block at 768px, the bulk of the
+            # story-coupling overhead beyond the attention itself).
+            ek, ev = to_k(extra_kv), to_v(extra_kv)
+            if ek.shape[0] != k.shape[0]:
+                g = ek.shape[0]
+                rows = k.shape[0] // g
+                ek = jnp.broadcast_to(
+                    ek[:, None], (g, rows) + ek.shape[1:]
+                ).reshape((k.shape[0],) + ek.shape[1:])
+                ev = jnp.broadcast_to(
+                    ev[:, None], (g, rows) + ev.shape[1:]
+                ).reshape((v.shape[0],) + ev.shape[1:])
+            k = jnp.concatenate([ek, k], axis=1)
+            v = jnp.concatenate([ev, v], axis=1)
         out = _attention(q, k, v, self.heads)
         return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
 
@@ -230,10 +245,10 @@ class BasicTransformerBlock(nn.Module):
             BT, T, C = h.shape
             B = BT // groups
             hg = h.reshape(groups, B, T, C)
-            bank = hg[:, :idl].reshape(groups, 1, idl * T, C)
-            bank = jnp.take(bank, idx, axis=2)
-            extra = jnp.broadcast_to(
-                bank, (groups, B, idx.shape[0], C)).reshape(BT, idx.shape[0], C)
+            bank = hg[:, :idl].reshape(groups, idl * T, C)
+            # [groups, K, C] — CrossAttention projects once per group and
+            # broadcasts the PROJECTIONS to the group's rows
+            extra = jnp.take(bank, idx, axis=1)
         x = x + CrossAttention(self.heads, self.dtype, name="attn1")(
             h, context=None, extra_kv=extra)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
