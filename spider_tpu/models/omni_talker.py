@@ -276,11 +276,17 @@ class OmniTalkerGenerator:
         embed = lambda tid: np.asarray(self.talker.apply(
             self.params, jnp.asarray([tid], jnp.int32),
             method=self.talker.embed))[0]
-        # prefill embeds: [prompt, text_bos, reply0] (+ codec pad @-2, bos @-1)
+        # prefill embeds: [prompt, text_bos, reply0] (+ codec pad @-2, bos @-1).
+        # An empty reply (thinker emitted EOS immediately) has no reply0 row;
+        # reuse the text-BOS embedding so the codec bos/pad adds land on the
+        # intended last-two rows instead of corrupting the prompt tail.
+        reply_head = (np.asarray(reply_stream[:1], np.float32)
+                      if len(reply_stream) else
+                      np.asarray(text_bos_embed, np.float32)[None])
         pre = np.concatenate(
             [np.asarray(prompt_stream, np.float32),
              np.asarray(text_bos_embed, np.float32)[None],
-             np.asarray(reply_stream[:1], np.float32)], axis=0)
+             reply_head], axis=0)
         pre[-2] = pre[-2] + embed(cfg.codec_pad)
         pre[-1] = pre[-1] + embed(cfg.codec_bos)
         T = pre.shape[0]

@@ -316,9 +316,6 @@ def vision_window_meta(grid_thw: Tuple[int, int, int],
 
     unit = m * m
     seg_window = np.repeat(np.arange(len(seqlens)), seqlens * unit)
-    # per-sequence full attention (one image/video here -> frames share)
-    seg_full = np.repeat(np.arange(t), h * w // 1 // t * 0 + h * w // t
-                         ) if False else np.zeros(t * h * w, np.int64)
     # HF cu_seqlens for full attention: repeat_interleave(h*w, t) — one
     # segment PER TEMPORAL GRID (each t index attends within its frame pair)
     seg_full = np.repeat(np.arange(t), h * w)

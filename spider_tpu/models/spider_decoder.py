@@ -190,6 +190,30 @@ class SpiderDecoder:
         return answers, predictions, predictions_text
 
 
+def run_story_pipeline(story_fn, predictions: Dict[str, Any],
+                       predictions_text: Dict[str, List]):
+    """If an IMAGESTORY span was parsed, run the story pipeline and record
+    its results (shared by SpiderDecoderInfer and the streaming chat path).
+    Returns the story images or None."""
+    if not predictions_text["IMAGESTORY"]:
+        return None
+    output_texts = predictions_text["IMAGESTORY"][0]
+    general_prompt, prompt_array, style_name = tags.extract_story_elements(
+        output_texts)
+    if (story_fn is not None and general_prompt and prompt_array
+            and isinstance(prompt_array, list) and len(prompt_array) > 0
+            and style_name):
+        preds = story_fn(general_prompt=general_prompt,
+                         prompt_array=prompt_array,
+                         style_name=style_name)
+        predictions["IMAGESTORY"].append(preds)
+        predictions_text["IMAGESTORY_prompts"].append(prompt_array)
+        return preds
+    logging.warning(
+        "One or more required inputs for story_generation are empty!")
+    return None
+
+
 class SpiderDecoderInfer:
     """End-to-end wrapper mirroring /root/reference/spider_decoder_infer.py:35-84:
     run the controller, then the story pipeline on any IMAGESTORY spans."""
@@ -209,19 +233,5 @@ class SpiderDecoderInfer:
         predictions_text = empty_predictions_text()
         answers, predictions, predictions_text = self.spider_decoder.generate(
             samples, answers, predictions, predictions_text)
-        if predictions_text["IMAGESTORY"]:
-            output_texts = predictions_text["IMAGESTORY"][0]
-            general_prompt, prompt_array, style_name = tags.extract_story_elements(
-                output_texts)
-            if (self.story_fn is not None and general_prompt and prompt_array
-                    and isinstance(prompt_array, list) and len(prompt_array) > 0
-                    and style_name):
-                preds = self.story_fn(general_prompt=general_prompt,
-                                      prompt_array=prompt_array,
-                                      style_name=style_name)
-                predictions["IMAGESTORY"].append(preds)
-                predictions_text["IMAGESTORY_prompts"].append(prompt_array)
-            else:
-                logging.warning(
-                    "One or more required inputs for story_generation are empty!")
+        run_story_pipeline(self.story_fn, predictions, predictions_text)
         return answers, predictions, predictions_text

@@ -243,13 +243,14 @@ class VideoRandomAugment:
         if frames.dtype != np.uint8:
             frames = np.clip(frames, 0, 255).astype(np.uint8)
         names = self.rng.choice(self.augs, self.N, replace=False)
+        # apply/skip drawn ONCE per clip (reference replicates the same
+        # apply_or_not across frames) so augmentation stays temporally
+        # coherent; op arguments are also fixed per clip for the same reason
+        applied = [(OPS[n][0], OPS[n][1](self.M, self.rng)) for n in names
+                   if self.rng.random() > self.p]
         out = []
         for img in frames:
-            for name in names:
-                if self.rng.random() <= self.p:
-                    continue
-                fn, to_args = OPS[name]
-                img = fn(np.ascontiguousarray(img),
-                         *to_args(self.M, self.rng))
+            for fn, args in applied:
+                img = fn(np.ascontiguousarray(img), *args)
             out.append(img)
         return np.stack(out).astype(np.float32)

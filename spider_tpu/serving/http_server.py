@@ -265,8 +265,12 @@ def make_handler(spider_free):
                         emit({"kind": "text", "answer": payload})
                     else:
                         emit(serialize_event(kind, payload))
-            except ValueError as exc:
-                emit({"kind": "error", "error": str(exc)})
+            except Exception as exc:   # noqa: BLE001 — any decoder failure
+                # mid-stream must still surface an error + done event (the
+                # browser otherwise hangs on the '…' placeholder)
+                logging.exception("chat stream failed")
+                emit({"kind": "error",
+                      "error": f"{type(exc).__name__}: {exc}"})
             emit({"kind": "done"})
 
     return Handler

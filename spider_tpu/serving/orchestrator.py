@@ -82,10 +82,20 @@ def run_request_concurrent(spider_decoder, samples: Dict[str, Any],
             return modality, text_res, preds
         return run
 
-    futures = orchestrator.dispatch_all(
-        [(m, thunk(m, t)) for m, t in spans
-         if m in orchestrator.decoders or m == "IMAGESTORY"])
-    return [f.result() for f in futures], stage_done
+    results: List = []
+    futures: List = []
+    for m, t in spans:
+        if m in orchestrator.decoders:
+            futures.append(orchestrator.submit(m, thunk(m, t)))
+            results.append(None)
+        elif m == "IMAGESTORY":
+            # no stage pool: yield the span inline for the caller's story
+            # pipeline (preds=None, same as SpiderDecoder.generate_stream)
+            results.append((m, t, None))
+        # spans without a decoder are dropped, matching SpiderDecoder
+    it = iter(futures)
+    results = [r if r is not None else next(it).result() for r in results]
+    return results, stage_done
 
 
 def dryrun_concurrent(n_devices: Optional[int] = None, repeats: int = 3):
@@ -165,13 +175,17 @@ def dryrun_concurrent(n_devices: Optional[int] = None, repeats: int = 3):
         import json
         import os
 
+        import re
+
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         bench = {}
-        for fname in sorted(os.listdir(root)):
-            if fname.startswith("BENCH_r") and fname.endswith(".json"):
-                with open(os.path.join(root, fname)) as f:
-                    bench = json.load(f)
+        rounds = [(int(m.group(1)), fname)
+                  for fname in os.listdir(root)
+                  for m in [re.match(r"BENCH_r(\d+)\.json$", fname)] if m]
+        if rounds:
+            with open(os.path.join(root, max(rounds)[1])) as f:
+                bench = json.load(f)
         st = (bench.get("parsed", bench) or {}).get("stages_s") or {}
         if st:
             decode = st.get("decode", 0.0)

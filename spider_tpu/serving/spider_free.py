@@ -138,22 +138,12 @@ class SpiderFree:
             else:  # VIDEO: whole clip
                 predictions[modality].append(preds)
                 yield modality.lower(), dict(media=preds, caption=text_res)
-        if predictions_text["IMAGESTORY"]:
-            general_prompt, prompt_array, style_name = \
-                tags.extract_story_elements(predictions_text["IMAGESTORY"][0])
-            story_fn = self.decoder_infer.story_fn
-            if (story_fn is not None and general_prompt and prompt_array
-                    and isinstance(prompt_array, list) and len(prompt_array)
-                    and style_name):
-                preds = story_fn(general_prompt=general_prompt,
-                                 prompt_array=prompt_array,
-                                 style_name=style_name)
-                predictions["IMAGESTORY"].append(preds)
-                predictions_text["IMAGESTORY_prompts"].append(prompt_array)
-                yield "story", dict(images=preds)
-            else:
-                logging.warning("One or more required inputs for "
-                                "story_generation are empty!")
+        from spider_tpu.models.spider_decoder import run_story_pipeline
+
+        preds = run_story_pipeline(self.decoder_infer.story_fn,
+                                   predictions, predictions_text)
+        if preds is not None:
+            yield "story", dict(images=preds)
 
     def chat(self, user_text: str,
              extra_inputs: Optional[Dict[str, Any]] = None,
