@@ -281,13 +281,25 @@ class LlamaAttention(nn.Module):
             pool_k = pool_k.at[pages, offs].set(k[:, 0].astype(pool_k.dtype))
             pool_v = pool_v.at[pages, offs].set(v[:, 0].astype(pool_v.dtype))
             new_cache = (pool_k, pool_v)
-            gk = pool_k[page_table]   # [B, max_pages, page, Hkv, D]
-            gv = pool_v[page_table]
-            Bp, MP, _, _, _ = gk.shape
-            gk = gk.reshape(Bp, MP * page, Hkv, D)
-            gv = gv.reshape(Bp, MP * page, Hkv, D)
-            out = mha_reference(q, gk.astype(q.dtype), gv.astype(q.dtype),
-                                causal=False, kv_len=kv_len)
+            if jax.default_backend() == "tpu" and D % 128 == 0 \
+                    and page % 8 == 0:
+                # Pallas kernel walks the page table with scalar prefetch —
+                # pages are read in place instead of gather-copying every
+                # slot's whole window per step (ops/paged_attention.py).
+                from spider_tpu.ops.paged_attention import \
+                    paged_decode_attention
+
+                out = paged_decode_attention(
+                    q[:, 0], pool_k, pool_v, page_table, kv_len)[:, None]
+            else:
+                gk = pool_k[page_table]   # [B, max_pages, page, Hkv, D]
+                gv = pool_v[page_table]
+                Bp, MP, _, _, _ = gk.shape
+                gk = gk.reshape(Bp, MP * page, Hkv, D)
+                gv = gv.reshape(Bp, MP * page, Hkv, D)
+                out = mha_reference(q, gk.astype(q.dtype),
+                                    gv.astype(q.dtype),
+                                    causal=False, kv_len=kv_len)
             out = out.reshape(B, T, Hq * D)
             return proj("o_proj", cfg.hidden_size)(out), new_cache
         if kv_cache is not None:

@@ -68,3 +68,34 @@ def test_temporal_attention_matches_einsum():
     out = temporal_attention(q, k, v, H, use_blockdiag=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_paged_attention_kernel_matches():
+    """Pallas paged decode attention == gather+einsum reference, ragged
+    kv_len across slots, GQA (interpret mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spider_tpu.ops.attention import mha_reference
+    from spider_tpu.ops.paged_attention import paged_decode_attention
+
+    B, Hq, Hkv, D, page, MP, NB = 3, 8, 2, 16, 8, 4, 12
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, (B, Hq, D)), jnp.float32)
+    pool_k = jnp.asarray(rng.normal(0, 1, (NB, page, Hkv, D)), jnp.float32)
+    pool_v = jnp.asarray(rng.normal(0, 1, (NB, page, Hkv, D)), jnp.float32)
+    # distinct blocks per slot; slot kv_lens ragged incl. page-boundary
+    table = jnp.asarray(rng.permutation(NB)[: B * MP].reshape(B, MP),
+                        jnp.int32)
+    kv_len = jnp.asarray([5, page * 2, page * MP], jnp.int32)
+
+    out = paged_decode_attention(q, pool_k, pool_v, table, kv_len,
+                                 interpret=True)
+
+    gk = pool_k[table].reshape(B, MP * page, Hkv, D)
+    gv = pool_v[table].reshape(B, MP * page, Hkv, D)
+    ref = mha_reference(q[:, None], gk, gv, causal=False,
+                        kv_len=kv_len)[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
