@@ -457,3 +457,64 @@ def test_llama_chat_fn_speculative_matches_plain(decoder_cfg):
                               speculative=True)
     prompt = "describe a cat and a cat and a cat"
     assert spec(prompt) == plain(prompt)
+
+
+def test_entry_web_scripts_serve():
+    """Parity entry scripts r1_llama3_8B_gradio.py / qwen2.5omni_web.py
+    boot their HTTP servers and answer a chat request (tiny models)."""
+    import importlib.util
+    import json as _json
+    import os
+    import threading
+    import urllib.request
+
+    here = os.path.join(os.path.dirname(__file__), "..")
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            name.replace(".", "_"), os.path.join(here, name))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    # r1 gradio analogue: build the same stack its main() wires, in-process
+    from spider_tpu.common.config import Config
+    from spider_tpu.models.serving_utils import load_or_init_llm
+    from spider_tpu.serving.http_server import serve
+    from spider_tpu.serving.spider_free import SpiderFree, make_llama_chat_fn
+
+    model, params, tok = load_or_init_llm(None)
+    sf = SpiderFree(Config.fromdict({"model": {"type": "spider_decoder",
+                                               "system_prompt": ""}}),
+                    make_llama_chat_fn(model, params, tok,
+                                       max_new_tokens=8, speculative=True),
+                    decoders={})
+    server = serve(sf, port=0, background=True)
+    port = server.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/chat",
+        data=_json.dumps({"text": "hi"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        out = _json.loads(resp.read())
+    assert "answer" in out
+    server.shutdown()
+
+    # omni web analogue: speech chat backbone answers with text + audio event
+    omni_web = load("qwen2.5omni_web.py")
+    speech = omni_web._OmniSpeechChat()
+    sf2 = SpiderFree(Config.fromdict({"model": {"type": "spider_decoder",
+                                                "system_prompt": ""}}),
+                     speech, decoders={})
+    inner = sf2.chat_stream
+
+    def chat_stream(*a, **kw):
+        for ev in inner(*a, **kw):
+            yield ev
+        if speech.last_wav is not None and speech.last_wav.size:
+            yield "audio", dict(media=speech.last_wav, caption="(speech)")
+
+    sf2.chat_stream = chat_stream
+    events, answers, _, _ = sf2.chat("say something")
+    kinds = [k for k, _ in events]
+    assert kinds[0] == "text"
