@@ -154,6 +154,88 @@ def bench_video(n_steps: int = 40):
                 steps_per_s=round(n_steps / dt, 2), frames=int(frames.shape[1]))
 
 
+def bench_video_shard(n_steps: int = 40):
+    """ONE device's share of the mesh-sharded (cfg=2 x sp=4) ZeroScope
+    denoise (pipelines/vd.py::_denoise_fn_sharded): the UNet3D step at
+    B=1 (one CFG branch), F=4 (one frame shard) plus this device's VAE
+    decode share (2 of 16 frames). Measured on one real chip; the modeled
+    8-way stage time excludes the per-step collectives (CFG eps combine
+    ~0.4 MB + temporal-attention activation reshards, est. single-digit
+    ms/step on ICI — docs/video_speed_of_light.md), whose correctness the
+    CPU-mesh dryrun and tests/test_sharded_video.py validate."""
+    import dataclasses as dc
+
+    from spider_tpu.models.factory import random_params_like
+    from spider_tpu.models.unet3d import (UNet3DConditionModel,
+                                          unet3d_zeroscope)
+    from spider_tpu.models.vae import AutoencoderKL, vae_sd
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+
+    def to_dev_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(
+                np.asarray(a, np.float32).astype(jnp.bfloat16)
+                if np.asarray(a).dtype == np.float32 else np.asarray(a),
+                dev), tree)
+
+    ucfg = dc.replace(unet3d_zeroscope(), dtype=jnp.bfloat16)
+    unet = UNet3DConditionModel(ucfg)
+    x = jnp.zeros((1, 4, 40, 72, 4), jnp.bfloat16)
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 1024), jnp.bfloat16)
+    with jax.default_device(cpu):
+        uparams = random_params_like(
+            unet, jax.random.PRNGKey(0),
+            jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 1024), jnp.bfloat16))
+    uparams = to_dev_bf16(uparams)
+
+    @jax.jit
+    def step(p, x):
+        return jnp.sum(unet.apply(p, x, t, ctx).astype(jnp.float32))
+
+    def time_step(x):
+        float(step(uparams, x))  # warm/compile
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = step(uparams, x)
+        float(s)
+        return (time.perf_counter() - t0) / iters
+
+    t_step = time_step(x)                                   # 8-way shard
+    t_step4 = time_step(jnp.zeros((1, 8, 40, 72, 4), jnp.bfloat16))  # 4-way
+
+    # VAE share: 2 of the 16 frames decode on this device
+    vcfg = dc.replace(vae_sd(), dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg)
+    with jax.default_device(cpu):
+        vparams = random_params_like(vae, jax.random.PRNGKey(1),
+                                     jnp.zeros((1, 64, 64, 3)))
+    vparams = to_dev_bf16(vparams)
+    lat = jnp.zeros((2, 40, 72, 4), jnp.float32)
+    dec = jax.jit(lambda p, l: ((vae.apply(p, l, method=vae.decode)
+                                 / 2 + 0.5).clip(0.0, 1.0) * 255.0)
+                  .astype(jnp.uint8))
+    np.asarray(dec(vparams, lat))  # warm
+    t0 = time.perf_counter()
+    np.asarray(dec(vparams, lat))
+    t_vae = time.perf_counter() - t0
+
+    return dict(
+        metric="ZeroScope sharded-shard step (B=1,F=4 of cfg=2 x sp=4)",
+        value=round(t_step * 1e3, 1), unit="ms/step",
+        shard_4way_ms=round(t_step4 * 1e3, 1),
+        vae_share_s=round(t_vae, 3),
+        modeled_v5e8_video_stage_s=round(n_steps * t_step + t_vae, 2),
+        modeled_4chip_video_stage_s=round(n_steps * t_step4 + t_vae, 2),
+        note=f"modeled stage = {n_steps} steps x per-shard step + VAE "
+             "share; excludes small per-step ICI collectives")
+
+
 def bench_audio(n_steps: int = 40):
     """AudioLDM-l at the reference operating point: 5.0 s audio, 40 steps,
     CFG (custom_ad.py defaults / spider.py:500-501)."""
@@ -418,6 +500,8 @@ def main():
         results.append(bench_story())
     if which in ("video",):
         results.append(bench_video())
+    if which in ("video_shard",):
+        results.append(bench_video_shard())
     if which in ("audio",):
         results.append(bench_audio())
     if which in ("detection",):

@@ -1189,3 +1189,61 @@ def convert_omni_token2wav(sd: Dict[str, np.ndarray], dit_cfg, bigvgan_cfg):
     """Full Qwen2_5OmniToken2WavModel dict -> (dit_params, bigvgan_params)."""
     return (convert_omni_dit(sd, dit_cfg),
             convert_omni_bigvgan(sd, bigvgan_cfg))
+
+
+# ---------------------------------------------------------------------------
+# PhotoMaker ID encoder (StoryDiffusion "Using Ref Images";
+# /root/reference/StoryDiffusion/utils/model.py PhotoMakerIDEncoder — the
+# photomaker-v1.bin checkpoint's "id_encoder" sub-dict)
+# ---------------------------------------------------------------------------
+
+def convert_photomaker_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """id_encoder state dict -> PhotoMakerIDEncoder params. Pass the inner
+    dict of the checkpoint's "id_encoder" key (the file also carries
+    "lora_weights" for the UNet, applied separately)."""
+    def ln(key):
+        return {"scale": np.asarray(sd[key + ".weight"], np.float32),
+                "bias": np.asarray(sd[key + ".bias"], np.float32)}
+
+    vm = "vision_model."
+    vision: Dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": _conv(sd[vm + "embeddings.patch_embedding.weight"])},
+        "class_embedding": np.asarray(
+            sd[vm + "embeddings.class_embedding"], np.float32),
+        "position_embedding": np.asarray(
+            sd[vm + "embeddings.position_embedding.weight"], np.float32),
+        "pre_layrnorm": ln(vm + "pre_layrnorm"),
+        "post_layernorm": ln(vm + "post_layernorm"),
+    }
+    for i in range(cfg.num_hidden_layers):
+        b = f"{vm}encoder.layers.{i}."
+        vision[f"layers_{i}"] = {
+            "layer_norm1": ln(b + "layer_norm1"),
+            "layer_norm2": ln(b + "layer_norm2"),
+            **{n: {"kernel": _t(sd[b + f"self_attn.{n}.weight"]),
+                   "bias": np.asarray(sd[b + f"self_attn.{n}.bias"])}
+               for n in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "fc1": {"kernel": _t(sd[b + "mlp.fc1.weight"]),
+                    "bias": np.asarray(sd[b + "mlp.fc1.bias"])},
+            "fc2": {"kernel": _t(sd[b + "mlp.fc2.weight"]),
+                    "bias": np.asarray(sd[b + "mlp.fc2.bias"])},
+        }
+
+    def fuse_mlp(pre):
+        return {"layernorm": ln(pre + ".layernorm"),
+                "fc1": {"kernel": _t(sd[pre + ".fc1.weight"]),
+                        "bias": np.asarray(sd[pre + ".fc1.bias"])},
+                "fc2": {"kernel": _t(sd[pre + ".fc2.weight"]),
+                        "bias": np.asarray(sd[pre + ".fc2.bias"])}}
+
+    p = {
+        "vision_model": vision,
+        "visual_projection": {"kernel": _t(sd["visual_projection.weight"])},
+        "visual_projection_2": {
+            "kernel": _t(sd["visual_projection_2.weight"])},
+        "fuse_module": {"mlp1": fuse_mlp("fuse_module.mlp1"),
+                        "mlp2": fuse_mlp("fuse_module.mlp2"),
+                        "layer_norm": ln("fuse_module.layer_norm")},
+    }
+    return {"params": _to_jnp(p)}

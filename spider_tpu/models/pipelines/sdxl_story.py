@@ -122,6 +122,39 @@ class StoryXLPipeline:
         return self._encode_jit(self.text_params, self.text_params_2,
                                 ids1, ids2)
 
+    def encode_prompt_photomaker(self, prompts: Sequence[str], id_pixels,
+                                 id_encoder, id_params,
+                                 trigger_word: str = "img"):
+        """PhotoMaker ref-image conditioning (StoryDiffusion "Using Ref
+        Images", utils/pipeline.py:31): trigger-word surgery on both
+        tokenizers, encode, then fuse the id-image embeddings into the
+        concatenated SDXL context at the duplicated class-token positions
+        (models/photomaker.py)."""
+        from spider_tpu.models.photomaker import prompts_with_trigger
+
+        c1, c2 = self.text_encoder.config, self.text_encoder_2.config
+        n_id = int(id_pixels.shape[0])
+        ids1, mask1 = prompts_with_trigger(
+            self.tokenizer, prompts, trigger_word, n_id,
+            c1.max_position_embeddings, c1.eos_token_id)
+        ids2, mask2 = prompts_with_trigger(
+            self.tokenizer_2, prompts, trigger_word, n_id,
+            c2.max_position_embeddings, c2.eos_token_id)
+        assert (mask1 == mask2).all(), \
+            "the two tokenizers disagree on trigger positions"
+        if not hasattr(self, "_encode_pm_jit"):
+            def enc(p1, p2, pe, ids1, ids2, pixels, mask):
+                _, h1, _ = self.text_encoder.apply(p1, ids1)
+                _, h2, pooled = self.text_encoder_2.apply(p2, ids2)
+                ctx = jnp.concatenate([h1[-2], h2[-2]], axis=-1)
+                return id_encoder.apply(pe, pixels, ctx, mask), pooled
+
+            self._encode_pm_jit = jax.jit(enc)
+        return self._encode_pm_jit(self.text_params, self.text_params_2,
+                                   id_params, jnp.asarray(ids1),
+                                   jnp.asarray(ids2), id_pixels,
+                                   jnp.asarray(mask1))
+
     # --------------------------------------------------------------- denoise
     def _denoise_fn(self, num_steps, guidance_scale, shape, id_length,
                     story_shapes):
@@ -193,13 +226,28 @@ class StoryXLPipeline:
                  guidance_scale: float = 5.0, num_inference_steps: int = 50,
                  id_length: int = 0, sa_ratio: float = 0.5,
                  height: Optional[int] = None, width: Optional[int] = None,
-                 rng: Optional[jax.Array] = None, seed: int = 0):
+                 rng: Optional[jax.Array] = None, seed: int = 0,
+                 ref_images: Optional[Sequence[np.ndarray]] = None,
+                 id_encoder=None, id_params=None,
+                 trigger_word: str = "img"):
         """Generate len(prompt) images; if id_length > 0, the first id_length
-        rows are identity images and ALL rows share consistent self-attn."""
+        rows are identity images and ALL rows share consistent self-attn.
+        With ref_images + a PhotoMaker id_encoder, identity comes from the
+        reference photos via trigger-word fusion (PhotoMaker mode)."""
         height = height or self.height
         width = width or self.width
         B = len(prompt)
-        ctx, pooled = self.encode_prompt(prompt)
+        if ref_images is not None:
+            from spider_tpu.models.photomaker import preprocess_id_images
+
+            assert id_encoder is not None and id_params is not None, \
+                "ref_images requires a PhotoMaker id_encoder (+params)"
+            id_pixels = preprocess_id_images(
+                ref_images, id_encoder.config.image_size)
+            ctx, pooled = self.encode_prompt_photomaker(
+                prompt, id_pixels, id_encoder, id_params, trigger_word)
+        else:
+            ctx, pooled = self.encode_prompt(prompt)
         un_ctx, un_pooled = self.encode_prompt([negative_prompt] * B)
 
         factor = 2 ** (len(self.vae.config.block_out_channels) - 1)
@@ -248,11 +296,17 @@ def story_generation(pipe: StoryXLPipeline, general_prompt: str,
                      prompt_array: Sequence[str], style_name: str,
                      id_length: int = 4, sa_ratio: float = 0.5,
                      num_inference_steps: int = 50, seed: int = 0,
-                     height: Optional[int] = None, width: Optional[int] = None
-                     ) -> List[np.ndarray]:
+                     height: Optional[int] = None, width: Optional[int] = None,
+                     ref_images: Optional[Sequence[np.ndarray]] = None,
+                     id_encoder=None, id_params=None,
+                     trigger_word: str = "img") -> List[np.ndarray]:
     """The reference's two-phase story generation (Comic_Generation.py:320-467)
     as one consistent joint batch: id images seed identity, then every story
-    frame is rendered with consistent self-attention against them."""
+    frame is rendered with consistent self-attention against them. With
+    ref_images (+ PhotoMaker id_encoder), identity additionally comes from
+    the reference photos — the general_prompt must contain the trigger word
+    after the class word, e.g. "a man img" (StoryDiffusion "Using Ref
+    Images")."""
     prompts = [f"{general_prompt}, {p}" for p in prompt_array]
     id_prompts = prompts[:id_length]
     if len(id_prompts) < id_length:
@@ -262,7 +316,9 @@ def story_generation(pipe: StoryXLPipeline, general_prompt: str,
     images = pipe(styled, negative_prompt=negative,
                   num_inference_steps=num_inference_steps,
                   id_length=id_length, sa_ratio=sa_ratio, seed=seed,
-                  height=height, width=width)
+                  height=height, width=width, ref_images=ref_images,
+                  id_encoder=id_encoder, id_params=id_params,
+                  trigger_word=trigger_word)
     # One image per story prompt; id images ARE the first frames (the
     # reference's write-phase outputs are returned as story frames too).
     return [images[i] for i in range(len(prompts))]

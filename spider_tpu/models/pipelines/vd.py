@@ -77,13 +77,60 @@ class TextToVideoSDPipeline:
             self._denoise_cache[key] = run
         return self._denoise_cache[key]
 
+    def _denoise_fn_sharded(self, num_steps: int, guidance_scale: float,
+                            shape, mesh):
+        """Mesh-sharded CFG denoise: the CFG pair over a `cfg` axis and the
+        frame dimension over a `sp` axis (docs/video_speed_of_light.md —
+        one CFG step is 27.9 TFLOP, FLOP-bound at ~70% of the single-chip
+        ceiling, so the <=7 s stage target requires dividing the step over
+        the slice). Spatial convs/attention fold frames into the batch and
+        parallelize cleanly; temporal attention (F=16), the kernel-3
+        temporal-conv halo and GroupNorm stats become small collectives
+        XLA inserts from the sharding constraints."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        key = (num_steps, guidance_scale, shape, mesh)
+        if key not in self._denoise_cache:
+            sched = self.scheduler
+            timesteps = sched.timesteps(num_steps)
+            rep = NamedSharding(mesh, P())
+            lat_sh = NamedSharding(mesh, P(None, "sp"))    # [B,F,h,w,c]
+            pair_sh = NamedSharding(mesh, P("cfg", "sp"))  # [2B,F,h,w,c]
+            ctx_sh = NamedSharding(mesh, P("cfg"))         # [2B,77,D]
+
+            import functools
+
+            @functools.partial(
+                jax.jit, in_shardings=(rep, lat_sh, rep, rep),
+                out_shardings=lat_sh)
+            def run(unet_params, latents, cond, uncond):
+                context = jax.lax.with_sharding_constraint(
+                    jnp.concatenate([uncond, cond], axis=0), ctx_sh)
+
+                def step(latents, t):
+                    lat_in = jax.lax.with_sharding_constraint(
+                        jnp.concatenate([latents, latents], axis=0), pair_sh)
+                    tt = jnp.full((lat_in.shape[0],), t, jnp.int32)
+                    eps = self.unet.apply(unet_params, lat_in, tt, context)
+                    eps = jax.lax.with_sharding_constraint(eps, pair_sh)
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
+                    return sched.step(eps, t, latents, num_steps), None
+
+                latents, _ = jax.lax.scan(step, latents, timesteps)
+                return latents
+
+            self._denoise_cache[key] = run
+        return self._denoise_cache[key]
+
     def __call__(self, prompt: Optional[Sequence[str]] = None,
                  prompt_embeds: Optional[jnp.ndarray] = None,
                  negative_prompt: Optional[Sequence[str]] = None,
                  guidance_scale: float = 7.5, num_inference_steps: int = 40,
                  height: int = 320, width: int = 576, num_frames: int = 16,
                  return_prompts_only: bool = False,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, mesh=None):
         if return_prompts_only:
             assert prompt is not None
             return self.encode_prompt(prompt)
@@ -101,7 +148,12 @@ class TextToVideoSDPipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         latents = jax.random.normal(rng, lat_shape, dtype=jnp.float32)
 
-        run = self._denoise_fn(num_inference_steps, guidance_scale, lat_shape)
+        if mesh is not None:
+            run = self._denoise_fn_sharded(num_inference_steps,
+                                           guidance_scale, lat_shape, mesh)
+        else:
+            run = self._denoise_fn(num_inference_steps, guidance_scale,
+                                   lat_shape)
         latents = run(self.unet_params, latents,
                       prompt_embeds.astype(jnp.float32),
                       uncond.astype(jnp.float32))
@@ -112,12 +164,33 @@ class TextToVideoSDPipeline:
         # host transfer is part of request latency).
         B_, F, h, w, c = latents.shape
         flat = latents.reshape(B_ * F, h, w, c)
-        if not hasattr(self, "_decode_jit"):
-            self._decode_jit = jax.jit(
-                lambda p, l: ((self.vae.apply(p, l, method=self.vae.decode)
-                               / 2 + 0.5).clip(0.0, 1.0) * 255.0)
-                .astype(jnp.uint8))
-        frames = np.asarray(self._decode_jit(self.vae_params, flat))
+        if mesh is not None:
+            # frames divide over the whole slice (16 -> 2 per device on 8)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            if not hasattr(self, "_decode_jit_sharded"):
+                flat_sh = NamedSharding(mesh, P(("cfg", "sp")))
+
+                def _decode(p, l):
+                    # incoming latents arrive P(None,'sp') from the denoise
+                    # reshape; respread frames over the whole slice
+                    l = jax.lax.with_sharding_constraint(l, flat_sh)
+                    img = self.vae.apply(p, l, method=self.vae.decode)
+                    return ((img / 2 + 0.5).clip(0.0, 1.0) * 255.0) \
+                        .astype(jnp.uint8)
+
+                self._decode_jit_sharded = jax.jit(
+                    _decode, out_shardings=flat_sh)
+            frames = np.asarray(self._decode_jit_sharded(self.vae_params,
+                                                         flat))
+        else:
+            if not hasattr(self, "_decode_jit"):
+                self._decode_jit = jax.jit(
+                    lambda p, l: ((self.vae.apply(p, l,
+                                                  method=self.vae.decode)
+                                   / 2 + 0.5).clip(0.0, 1.0) * 255.0)
+                    .astype(jnp.uint8))
+            frames = np.asarray(self._decode_jit(self.vae_params, flat))
         H, W = frames.shape[1:3]
         return frames.reshape(B_, F, H, W, 3)
 

@@ -126,6 +126,21 @@ def _dino_cfg():
         max_text_len=64, backbone=_swin_t_cfg(), bert=_bert_cfg())
 
 
+def _photomaker_cfg():
+    from spider_tpu.models.photomaker import photomaker_v1
+
+    # keep the real depth (24 layers — key names depend on it), shrink width
+    return dc.replace(photomaker_v1(), hidden_size=16, intermediate_size=32,
+                      num_attention_heads=2, image_size=28, patch_size=14,
+                      projection_dim=8, projection_dim_2=8, embed_dim=16)
+
+
+def _make_photomaker(cfg):
+    from test_convert_diffusion import make_photomaker_sd
+
+    return make_photomaker_sd(cfg)[0]
+
+
 def _wrap3(make):
     def f(cfg):
         return make(cfg)[0]
@@ -186,4 +201,6 @@ def families():
         "grounding_dino_swin_t": (_dino_cfg(),
                                   _wrap3(make_grounding_dino_sd),
                                   C.convert_grounding_dino_state_dict),
+        "photomaker_v1": (_photomaker_cfg(), _make_photomaker,
+                          C.convert_photomaker_state_dict),
     }

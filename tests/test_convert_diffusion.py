@@ -828,3 +828,46 @@ def test_hifigan_matches_speecht5():
     got = np.asarray(HifiGan(cfg).apply(params, jnp.asarray(mel)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+# ----------------------------------------------------------------- photomaker
+
+def make_photomaker_sd(cfg):
+    """Inverse-emit a PhotoMaker id_encoder state dict (utils/model.py
+    naming) from a random-init PhotoMakerIDEncoder."""
+    from spider_tpu.models.photomaker import PhotoMakerIDEncoder
+
+    enc = PhotoMakerIDEncoder(cfg)
+    params = enc.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        jnp.zeros((1, 77, cfg.embed_dim)),
+        jnp.zeros((1, 77), jnp.int32))["params"]
+    sd = {}
+    vm = params["vision_model"]
+    sd["vision_model.embeddings.class_embedding"] = \
+        np.asarray(vm["class_embedding"])
+    sd["vision_model.embeddings.position_embedding.weight"] = \
+        np.asarray(vm["position_embedding"])
+    _emit_module(sd, "vision_model.embeddings.patch_embedding",
+                 vm["patch_embedding"])
+    _emit_module(sd, "vision_model.pre_layrnorm", vm["pre_layrnorm"])
+    _emit_module(sd, "vision_model.post_layernorm", vm["post_layernorm"])
+    for i in range(cfg.num_hidden_layers):
+        blk = vm[f"layers_{i}"]
+        b = f"vision_model.encoder.layers.{i}."
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _emit_module(sd, b + f"self_attn.{n}", blk[n])
+        _emit_module(sd, b + "layer_norm1", blk["layer_norm1"])
+        _emit_module(sd, b + "layer_norm2", blk["layer_norm2"])
+        _emit_module(sd, b + "mlp.fc1", blk["fc1"])
+        _emit_module(sd, b + "mlp.fc2", blk["fc2"])
+    _emit_module(sd, "visual_projection", params["visual_projection"])
+    _emit_module(sd, "visual_projection_2", params["visual_projection_2"])
+    fm = params["fuse_module"]
+    for m in ("mlp1", "mlp2"):
+        _emit_module(sd, f"fuse_module.{m}.layernorm", fm[m]["layernorm"])
+        _emit_module(sd, f"fuse_module.{m}.fc1", fm[m]["fc1"])
+        _emit_module(sd, f"fuse_module.{m}.fc2", fm[m]["fc2"])
+    _emit_module(sd, "fuse_module.layer_norm", fm["layer_norm"])
+    return sd, enc, {"params": params}

@@ -75,6 +75,9 @@ def full_config(name):
         "hifigan_audioldm": hifigan_audioldm(),
         "clap_text": ClapTextConfig(),
         "grounding_dino_swin_t": GroundingDINOConfig(),
+        "photomaker_v1": __import__(
+            "spider_tpu.models.photomaker",
+            fromlist=["photomaker_v1"]).photomaker_v1(),
     }[name]
 
 
@@ -88,6 +91,11 @@ def verify_family(name, ckpt_path):
     with open(fixture) as f:
         manifest = set(l for l in f.read().splitlines() if l)
     sd = load_torch_state_dict(ckpt_path)
+    if name == "photomaker_v1" and "id_encoder" in sd:
+        # photomaker-v1.bin nests {"id_encoder": ..., "lora_weights": ...};
+        # the manifest covers the id_encoder sub-dict (the UNet LoRA is
+        # applied separately)
+        sd = dict(sd["id_encoder"])
     real = set(sd)
     missing = sorted(manifest - real)
     extra = sorted(k for k in real - manifest
