@@ -10,6 +10,17 @@ from spider_tpu.common.config import Config
 from spider_tpu.models import spider_decoder  # noqa: F401 (registers model)
 from spider_tpu.models.spider_decoder import SpiderDecoderInfer
 
+# Generation kwargs the diffusion pipelines accept beyond the operating
+# point each fn pins explicitly — config decode_options ride through here
+# (negative_prompt / eta / seed via rng are per-modality parity knobs,
+# cf. custom_sd.py:229-231 negative_prompt and eta in the reference).
+_PASSTHROUGH = ("negative_prompt", "eta", "rng")
+
+
+def _gen_kwargs(kw, drop=()):
+    return {k: v for k, v in kw.items()
+            if k in _PASSTHROUGH and k not in drop}
+
 
 def build_default_decoders(tiny: bool = True, with_grounding: bool = True,
                            weight_paths=None):
@@ -42,18 +53,20 @@ def build_default_decoders(tiny: bool = True, with_grounding: bool = True,
         # 5s) to sizes the tiny VAE (2x downsample) can afford.
         def image_fn(prompts, num_inference_steps=40, **kw):
             return sd(prompt=prompts,
-                      num_inference_steps=min(num_inference_steps, 8))
+                      num_inference_steps=min(num_inference_steps, 8),
+                      **_gen_kwargs(kw))
 
         def video_fn(prompts, num_inference_steps=40, **kw):
             return vd(prompt=prompts,
                       num_inference_steps=min(num_inference_steps, 8),
-                      height=32, width=32, num_frames=4)
+                      height=32, width=32, num_frames=4, **_gen_kwargs(kw))
 
         def audio_fn(prompts, num_inference_steps=40, audio_length_in_s=5.0,
                      **kw):
             return ad(prompt=prompts,
                       num_inference_steps=min(num_inference_steps, 8),
-                      audio_length_in_s=min(audio_length_in_s, 1.0))
+                      audio_length_in_s=min(audio_length_in_s, 1.0),
+                      **_gen_kwargs(kw))
     else:
         from spider_tpu.models.factory import from_pretrained
 
@@ -63,16 +76,21 @@ def build_default_decoders(tiny: bool = True, with_grounding: bool = True,
 
         def image_fn(prompts, num_inference_steps=40, **kw):
             return sd(prompt=prompts, num_inference_steps=num_inference_steps,
-                      guidance_scale=kw.get("guidance_scale", 7.5))
+                      guidance_scale=kw.get("guidance_scale", 7.5),
+                      **_gen_kwargs(kw, drop=("guidance_scale",)))
 
         def video_fn(prompts, num_inference_steps=40, **kw):
             return vd(prompt=prompts, num_inference_steps=num_inference_steps,
-                      height=320, width=576, num_frames=16)
+                      height=kw.get("height", 320), width=kw.get("width", 576),
+                      num_frames=kw.get("num_frames", 16),
+                      **_gen_kwargs(kw, drop=("height", "width",
+                                              "num_frames")))
 
         def audio_fn(prompts, num_inference_steps=40, audio_length_in_s=5.0,
                      **kw):
             return ad(prompt=prompts, num_inference_steps=num_inference_steps,
-                      audio_length_in_s=audio_length_in_s)
+                      audio_length_in_s=audio_length_in_s,
+                      **_gen_kwargs(kw))
 
     decoders = {"IMAGE": image_fn, "VIDEO": video_fn, "AUDIO": audio_fn}
 

@@ -73,14 +73,16 @@ class AudioLDMPipeline:
     # segment-program serves the whole trajectory in chunks.
     SCAN_SEGMENT = 20
 
-    def _denoise_fn(self, num_steps: int, guidance_scale: float, shape):
+    def _denoise_fn(self, num_steps: int, guidance_scale: float, shape,
+                    eta: float = 0.0):
         seg = min(self.SCAN_SEGMENT, num_steps)
-        key = (seg, guidance_scale, shape)
+        key = (seg, guidance_scale, shape, eta)
         if key not in self._denoise_cache:
             sched = self.scheduler
 
             @jax.jit
-            def run(unet_params, latents, cond, uncond, timesteps, num_steps):
+            def run(unet_params, latents, cond, uncond, timesteps, num_steps,
+                    noise_key):
                 class_embeds = jnp.concatenate([uncond, cond], axis=0)
                 # AudioLDM passes the CLAP vector via the class-embedding path;
                 # cross-attention context is a dummy of the same vector.
@@ -94,7 +96,11 @@ class AudioLDMPipeline:
                         added_cond=dict(class_embeds=class_embeds))
                     eps_u, eps_c = jnp.split(eps, 2, axis=0)
                     eps = eps_u + guidance_scale * (eps_c - eps_u)
-                    return sched.step(eps, t, latents, num_steps), None
+                    noise = jax.random.normal(
+                        jax.random.fold_in(noise_key, t), latents.shape,
+                        jnp.float32) if eta > 0.0 else None
+                    return sched.step(eps, t, latents, num_steps,
+                                      eta=eta, noise=noise), None
 
                 latents, _ = jax.lax.scan(step, latents, timesteps)
                 return latents
@@ -104,12 +110,13 @@ class AudioLDMPipeline:
         seg_run = self._denoise_cache[key]
         all_ts = np.asarray(self.scheduler.timesteps(num_steps))
 
-        def run_all(unet_params, latents, cond, uncond):
+        def run_all(unet_params, latents, cond, uncond, noise_key):
             n_total = jnp.asarray(num_steps, jnp.int32)
             for i in range(0, num_steps, seg):
                 # a shorter tail chunk just specializes the same jitted fn
                 latents = seg_run(unet_params, latents, cond, uncond,
-                                  jnp.asarray(all_ts[i:i + seg]), n_total)
+                                  jnp.asarray(all_ts[i:i + seg]), n_total,
+                                  noise_key)
             return latents
 
         return run_all
@@ -120,7 +127,7 @@ class AudioLDMPipeline:
                  guidance_scale: float = 7.5, num_inference_steps: int = 40,
                  audio_length_in_s: float = 5.0,
                  return_prompts_only: bool = False,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, eta: float = 0.0):
         if return_prompts_only:
             assert prompt is not None
             return self.encode_prompt(prompt)
@@ -147,10 +154,12 @@ class AudioLDMPipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         latents = jax.random.normal(rng, lat_shape, dtype=jnp.float32)
 
-        run = self._denoise_fn(num_inference_steps, guidance_scale, lat_shape)
+        run = self._denoise_fn(num_inference_steps, guidance_scale, lat_shape,
+                               eta=float(eta))
         latents = run(self.unet_params, latents,
                       prompt_embeds.astype(jnp.float32),
-                      uncond.astype(jnp.float32))
+                      uncond.astype(jnp.float32),
+                      jax.random.fold_in(rng, 1))
         # VAE mel decode + HiFiGAN vocoding in ONE jitted call (eager
         # dispatch of the vocoder's op stream crashes the relay worker and
         # pays per-op round trips).

@@ -70,14 +70,15 @@ class StableDiffusionPipeline:
         return self._encode_jit(self.text_params, self.tokenize(prompts))
 
     # --------------------------------------------------------------- denoise
-    def _denoise_fn(self, num_steps: int, guidance_scale: float, shape):
-        key = (num_steps, guidance_scale, shape)
+    def _denoise_fn(self, num_steps: int, guidance_scale: float, shape,
+                    eta: float = 0.0):
+        key = (num_steps, guidance_scale, shape, eta)
         if key not in self._denoise_cache:
             sched = self.scheduler
             timesteps = sched.timesteps(num_steps)
 
             @jax.jit
-            def run(unet_params, latents, cond, uncond):
+            def run(unet_params, latents, cond, uncond, noise_key):
                 context = jnp.concatenate([uncond, cond], axis=0)
 
                 def step(latents, t):
@@ -86,7 +87,11 @@ class StableDiffusionPipeline:
                     eps = self.unet.apply(unet_params, lat_in, tt, context)
                     eps_u, eps_c = jnp.split(eps, 2, axis=0)
                     eps = eps_u + guidance_scale * (eps_c - eps_u)
-                    return sched.step(eps, t, latents, num_steps), None
+                    noise = jax.random.normal(
+                        jax.random.fold_in(noise_key, t), latents.shape,
+                        jnp.float32) if eta > 0.0 else None
+                    return sched.step(eps, t, latents, num_steps,
+                                      eta=eta, noise=noise), None
 
                 latents, _ = jax.lax.scan(step, latents, timesteps)
                 return latents
@@ -108,7 +113,8 @@ class StableDiffusionPipeline:
                  guidance_scale: float = 7.5, num_inference_steps: int = 40,
                  return_prompts_only: bool = False,
                  rng: Optional[jax.Array] = None,
-                 height: Optional[int] = None, width: Optional[int] = None):
+                 height: Optional[int] = None, width: Optional[int] = None,
+                 eta: float = 0.0):
         if return_prompts_only:
             assert prompt is not None
             return self.encode_prompt(prompt)
@@ -126,13 +132,17 @@ class StableDiffusionPipeline:
         lat_shape = (B, height // factor, width // factor,
                      self.unet.config.in_channels)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # init latents keep the bare rng (seed-stable vs the eta=0 path);
+        # the stochastic-DDIM noise stream is derived, not split
+        noise_key = jax.random.fold_in(rng, 1)
         latents = jax.random.normal(rng, lat_shape, dtype=jnp.float32)
         latents = latents * self.scheduler.init_noise_sigma
 
-        run = self._denoise_fn(num_inference_steps, guidance_scale, lat_shape)
+        run = self._denoise_fn(num_inference_steps, guidance_scale, lat_shape,
+                               eta=float(eta))
         latents = run(self.unet_params, latents,
                       prompt_embeds.astype(jnp.float32),
-                      uncond.astype(jnp.float32))
+                      uncond.astype(jnp.float32), noise_key)
         return self._decode_latents(latents)  # [B, H, W, 3] float in [0,1]
 
 

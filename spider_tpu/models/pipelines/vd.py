@@ -53,14 +53,15 @@ class TextToVideoSDPipeline:
     def encode_prompt(self, prompts: Sequence[str]) -> jnp.ndarray:
         return self._encode_jit(self.text_params, self.tokenize(prompts))
 
-    def _denoise_fn(self, num_steps: int, guidance_scale: float, shape):
-        key = (num_steps, guidance_scale, shape)
+    def _denoise_fn(self, num_steps: int, guidance_scale: float, shape,
+                    eta: float = 0.0):
+        key = (num_steps, guidance_scale, shape, eta)
         if key not in self._denoise_cache:
             sched = self.scheduler
             timesteps = sched.timesteps(num_steps)
 
             @jax.jit
-            def run(unet_params, latents, cond, uncond):
+            def run(unet_params, latents, cond, uncond, noise_key):
                 context = jnp.concatenate([uncond, cond], axis=0)
 
                 def step(latents, t):
@@ -69,7 +70,11 @@ class TextToVideoSDPipeline:
                     eps = self.unet.apply(unet_params, lat_in, tt, context)
                     eps_u, eps_c = jnp.split(eps, 2, axis=0)
                     eps = eps_u + guidance_scale * (eps_c - eps_u)
-                    return sched.step(eps, t, latents, num_steps), None
+                    noise = jax.random.normal(
+                        jax.random.fold_in(noise_key, t), latents.shape,
+                        jnp.float32) if eta > 0.0 else None
+                    return sched.step(eps, t, latents, num_steps,
+                                      eta=eta, noise=noise), None
 
                 latents, _ = jax.lax.scan(step, latents, timesteps)
                 return latents
@@ -130,7 +135,8 @@ class TextToVideoSDPipeline:
                  guidance_scale: float = 7.5, num_inference_steps: int = 40,
                  height: int = 320, width: int = 576, num_frames: int = 16,
                  return_prompts_only: bool = False,
-                 rng: Optional[jax.Array] = None, mesh=None):
+                 rng: Optional[jax.Array] = None, mesh=None,
+                 eta: float = 0.0):
         if return_prompts_only:
             assert prompt is not None
             return self.encode_prompt(prompt)
@@ -149,14 +155,19 @@ class TextToVideoSDPipeline:
         latents = jax.random.normal(rng, lat_shape, dtype=jnp.float32)
 
         if mesh is not None:
+            assert eta == 0.0, "eta not supported on the sharded denoise"
             run = self._denoise_fn_sharded(num_inference_steps,
                                            guidance_scale, lat_shape, mesh)
+            latents = run(self.unet_params, latents,
+                          prompt_embeds.astype(jnp.float32),
+                          uncond.astype(jnp.float32))
         else:
             run = self._denoise_fn(num_inference_steps, guidance_scale,
-                                   lat_shape)
-        latents = run(self.unet_params, latents,
-                      prompt_embeds.astype(jnp.float32),
-                      uncond.astype(jnp.float32))
+                                   lat_shape, eta=float(eta))
+            latents = run(self.unet_params, latents,
+                          prompt_embeds.astype(jnp.float32),
+                          uncond.astype(jnp.float32),
+                          jax.random.fold_in(rng, 1))
         # Decode frames through the 2-D VAE: ONE device call (multi-call
         # chunking pays per-dispatch overhead on the relay; full batch-16
         # measured 0.95 s vs 3.1 s in 4-frame chunks) and uint8 output (the

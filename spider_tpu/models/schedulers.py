@@ -60,8 +60,13 @@ class DDIMScheduler:
         return sample
 
     def step(self, model_output: jnp.ndarray, timestep: jnp.ndarray,
-             sample: jnp.ndarray, num_inference_steps: int) -> jnp.ndarray:
-        """One deterministic DDIM (eta=0) update."""
+             sample: jnp.ndarray, num_inference_steps: int,
+             eta: float = 0.0,
+             noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """One DDIM update; eta > 0 (with `noise`) gives the stochastic
+        variant (diffusers DDIMScheduler.step eta semantics — the reference
+        pipelines expose `eta` through prepare_extra_step_kwargs,
+        custom_sd.py)."""
         acp = self.alphas_cumprod
         prev_timestep = timestep - self.num_train_timesteps // num_inference_steps
         alpha_t = acp[timestep]
@@ -75,7 +80,16 @@ class DDIMScheduler:
             eps = jnp.sqrt(alpha_t) * eps + jnp.sqrt(1 - alpha_t) * x
         else:
             pred_x0 = (x - jnp.sqrt(1 - alpha_t) * eps) / jnp.sqrt(alpha_t)
-        prev = jnp.sqrt(alpha_prev) * pred_x0 + jnp.sqrt(1 - alpha_prev) * eps
+        if eta > 0.0:
+            assert noise is not None, "eta > 0 requires noise"
+            variance = ((1 - alpha_prev) / (1 - alpha_t)
+                        * (1 - alpha_t / alpha_prev))
+            sigma = eta * jnp.sqrt(variance)
+            prev = (jnp.sqrt(alpha_prev) * pred_x0
+                    + jnp.sqrt(1 - alpha_prev - sigma ** 2) * eps
+                    + sigma * noise.astype(jnp.float32))
+        else:
+            prev = jnp.sqrt(alpha_prev) * pred_x0 + jnp.sqrt(1 - alpha_prev) * eps
         return prev.astype(sample.dtype)
 
     def add_noise(self, sample, noise, timestep):

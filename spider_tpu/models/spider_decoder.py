@@ -52,12 +52,18 @@ class SpiderDecoder:
                  get_prompt_embed_for_diffusion: bool = False,
                  decoders: Optional[Dict[str, Callable]] = None,
                  max_context_len: int = 4096,
+                 decode_options: Optional[Dict[str, Dict[str, Any]]] = None,
                  **_unused):
         self.model_name = name
         self.system_prompt = system_prompt
         self.user_prompt = user_prompt
         self.assistant_prompt = assistant_prompt
         self.get_prompt_embed_for_diffusion = get_prompt_embed_for_diffusion
+        # Per-modality generation kwargs from config (negative_prompt, eta,
+        # guidance_scale, num_inference_steps overrides, ...) — merged under
+        # any per-call kwargs at dispatch (decode_image/video/audio).
+        self.decode_options = {k: dict(v)
+                               for k, v in (decode_options or {}).items()}
         self.max_context_len = max_context_len
         self.decoders = decoders or {}
 
@@ -70,8 +76,10 @@ class SpiderDecoder:
             logging.info("no input text prompt for image generation, "
                          "or no image generation model.")
             return None
-        return fn(samples["llm_text_res"], guidance_scale=guidance_scale,
-                  num_inference_steps=num_inference_steps)
+        kw = dict(guidance_scale=guidance_scale,
+                  num_inference_steps=num_inference_steps,
+                  **self.decode_options.get("IMAGE", {}))
+        return fn(samples["llm_text_res"], **kw)
 
     def decode_video(self, samples: Dict[str, Any],
                      guidance_scale: float = 7.5, num_inference_steps: int = 40,
@@ -81,9 +89,11 @@ class SpiderDecoder:
             logging.info("no input text prompt for video generation, "
                          "or no video generation model.")
             return None
-        return fn(samples["llm_text_res"], guidance_scale=guidance_scale,
+        kw = dict(guidance_scale=guidance_scale,
                   num_inference_steps=num_inference_steps, height=height,
-                  width=width, num_frames=num_frames)
+                  width=width, num_frames=num_frames,
+                  **self.decode_options.get("VIDEO", {}))
+        return fn(samples["llm_text_res"], **kw)
 
     def decode_audio(self, samples: Dict[str, Any],
                      guidance_scale: float = 7.5, num_inference_steps: int = 40,
@@ -93,9 +103,11 @@ class SpiderDecoder:
             logging.info("no input text prompt for audio generation, "
                          "or no audio generation model.")
             return None
-        return fn(samples["llm_text_res"], guidance_scale=guidance_scale,
+        kw = dict(guidance_scale=guidance_scale,
                   num_inference_steps=num_inference_steps,
-                  audio_length_in_s=audio_length_in_s)
+                  audio_length_in_s=audio_length_in_s,
+                  **self.decode_options.get("AUDIO", {}))
+        return fn(samples["llm_text_res"], **kw)
 
     def decode_box(self, samples: Dict[str, Any]):
         fn = self.decoders.get("BOX")

@@ -37,8 +37,14 @@ LLAMA_RULES: List[Tuple[str, P]] = [
     (r"mlp/w2$", P(None, "expert", "model", "fsdp")),
     (r"mlp/wg$", P(None, "fsdp", None)),
     # embeddings / head (kernel_q covers int8/int4 serving params: the
-    # 4096x128256 lm_head is the single largest matrix and must TP-shard)
-    (r"embed_tokens/embedding$", P("model", "fsdp")),
+    # 4096x128256 lm_head is the single largest matrix and must TP-shard).
+    # The embedding shards VOCAB-only (combined fsdp x model — same 1/N
+    # memory as the old P('model','fsdp')): the doubly-sharded table made
+    # the token-gather emit H-sharded outputs that fight the batch-major
+    # activations ("involuntary full rematerialization", 6 warnings -> 1
+    # measured on the dp2xfsdp2xtp2 Spider step; the residual one is the
+    # 8 KB aligner query_embs grad accumulation — negligible).
+    (r"embed_tokens/embedding$", P(("fsdp", "model"), None)),
     (r"lm_head/kernel(_q)?$", P("fsdp", "model")),
     (r"lm_head/kernel_scale$", P("model")),
     # norms and everything else: replicated

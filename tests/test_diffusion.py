@@ -30,6 +30,35 @@ def test_ddim_scheduler_denoises_toward_x0():
     assert float(jnp.mean((prev - x0) ** 2)) < float(jnp.mean((xt - x0) ** 2))
 
 
+def test_ddim_eta_stochastic_step():
+    """eta>0 matches the diffusers stochastic-DDIM update; eta=0 unchanged."""
+    sched = S.DDIMScheduler()
+    acp = sched.alphas_cumprod
+    x0 = jnp.ones((1, 4, 4, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    t = jnp.int32(981)
+    xt = sched.add_noise(x0, eps, t[None])[0]
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+
+    det = sched.step(eps, t, xt, 40)
+    stoch = sched.step(eps, t, xt, 40, eta=1.0, noise=noise)
+    # hand-computed reference for the eta term
+    prev_t = t - 1000 // 40
+    a_t, a_prev = acp[t], acp[prev_t]
+    var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+    sigma = jnp.sqrt(var)
+    pred_x0 = (xt - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+    expect = (jnp.sqrt(a_prev) * pred_x0
+              + jnp.sqrt(1 - a_prev - sigma ** 2) * eps + sigma * noise)
+    np.testing.assert_allclose(np.asarray(stoch), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+    assert float(jnp.max(jnp.abs(stoch - det))) > 1e-4  # actually stochastic
+    # eta plumbs through the pipeline without changing shapes
+    pipe = build_tiny_sd()
+    img = pipe(prompt=["an apple"], num_inference_steps=2, eta=0.5)
+    assert img.shape[-1] == 3
+
+
 def test_euler_scheduler_shapes():
     sched = S.EulerDiscreteScheduler()
     sigmas, ts = sched.sigmas_and_timesteps(50)

@@ -28,7 +28,7 @@ def test_partition_specs_match_rules():
     ospec = [v for k, v in flat.items() if "o_proj/kernel" in k]
     assert ospec[0] == P(None, "model", "fsdp")
     embspec = [v for k, v in flat.items() if "embedding" in k]
-    assert embspec[0] == P("model", "fsdp")
+    assert embspec[0] == P(("fsdp", "model"), None)  # vocab-only shard
     norm = [v for k, v in flat.items() if k.endswith("input_layernorm")]
     assert all(e is None for e in tuple(norm[0]))
 

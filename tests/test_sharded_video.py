@@ -33,7 +33,7 @@ def test_sharded_denoise_matches_single_device(pipe, mesh):
     uncond = pipe.encode_prompt([""]).astype(jnp.float32)
 
     ref = pipe._denoise_fn(6, 7.5, lat_shape)(
-        pipe.unet_params, latents, cond, uncond)
+        pipe.unet_params, latents, cond, uncond, jax.random.PRNGKey(0))
     out = pipe._denoise_fn_sharded(6, 7.5, lat_shape, mesh)(
         pipe.unet_params, latents, cond, uncond)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

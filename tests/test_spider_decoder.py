@@ -97,6 +97,30 @@ def test_spider_decoder_generate_dispatch():
     assert len(predictions["AUDIO"]) == 1
 
 
+def test_spider_decoder_decode_options_merge():
+    """Config decode_options (negative_prompt/eta) reach the decoder fns."""
+    seen = {}
+
+    def image_fn(prompts, **kw):
+        seen["IMAGE"] = kw
+        return [np.zeros((8, 8, 3))]
+
+    def audio_fn(prompts, **kw):
+        seen["AUDIO"] = kw
+        return [np.zeros((100,))]
+
+    dec = SpiderDecoder(
+        decoders=dict(IMAGE=image_fn, AUDIO=audio_fn),
+        decode_options=dict(IMAGE=dict(negative_prompt=["blurry"], eta=0.3),
+                            AUDIO=dict(eta=1.0)))
+    dec.generate({"llm_text_all": ["<IMAGE>apple</IMAGE><AUDIO>cat</AUDIO>"]},
+                 [], empty_predictions(), empty_predictions_text())
+    assert seen["IMAGE"]["negative_prompt"] == ["blurry"]
+    assert seen["IMAGE"]["eta"] == 0.3
+    assert seen["IMAGE"]["num_inference_steps"] == 40  # default preserved
+    assert seen["AUDIO"]["eta"] == 1.0
+
+
 def test_spider_decoder_box_threshold_and_mask_rescale():
     calls, decoders = _fake_decoders()
     dec = SpiderDecoder(decoders=decoders)

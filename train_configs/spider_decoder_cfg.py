@@ -48,4 +48,13 @@ model = dict(
     system_prompt_box="",
     system_prompt_story="",
     max_context_len=4096,
+    # Per-modality generation knobs merged into the decoder dispatch
+    # (negative_prompt / eta / guidance_scale / step overrides — the
+    # reference exposes these through its diffusers pipelines,
+    # custom_sd.py:229-231). Empty = pipeline defaults.
+    decode_options=dict(
+        IMAGE=dict(),
+        VIDEO=dict(),
+        AUDIO=dict(),
+    ),
 )
