@@ -143,6 +143,20 @@ def test_graft_params_fills_and_inits():
 
 
 @pytest.mark.slow
+def test_full_omni_thinker_aot_compiles():
+    """Full-size Qwen2.5-Omni-7B thinker towers + sharded LLM prefill
+    AOT-compile on the virtual mesh (VERDICT r2 item 3 residual;
+    reference qwen2.5omni_spider_web.py:368-383)."""
+    from spider_tpu.runners.compile_check import compile_full_omni_forward
+
+    stats = compile_full_omni_forward()
+    assert stats["compile_ok"] == 1.0
+    assert stats["n_params"] > 8.5e9          # 7.6B LLM + 1.3B towers
+    assert stats["audio_params"] > 5e8        # whisper-large-scale tower
+    assert stats["vision_params"] > 5e8       # 32-block ViT
+
+
+@pytest.mark.slow
 def test_full_spider_sharded_step_aot_compiles():
     """8.87B-param train step AOT-compiles at dp2 x fsdp2 x tp2 (the driver
     dryrun's sibling at full scale, reference base_model.py:40-233)."""
