@@ -338,8 +338,13 @@ def _flash_bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _flash_backward(q, k, v, out, lse, g, causal, sm_scale, kv_len, q_offset,
-                    block_q, block_k):
-    """q [B,T,Hq,D]; k,v [B,S,Hkv,D]; lse [B,Hq,T]; g [B,T,Hq,D]."""
+                    block_q, block_k, g_lse=None):
+    """q [B,T,Hq,D]; k,v [B,S,Hkv,D]; lse [B,Hq,T]; g [B,T,Hq,D].
+
+    g_lse ([B,Hq,T], optional): cotangent of the logsumexp output (the
+    with-lse entry point). d lse / d s_ij = p_ij, so it folds into the
+    row term: ds_ij = p_ij * (dp_ij - (delta_i - g_lse_i)).
+    """
     B, T, Hq, D = q.shape
     _, S, Hkv, _ = k.shape
     group = Hq // Hkv
@@ -353,6 +358,8 @@ def _flash_backward(q, k, v, out, lse, g, causal, sm_scale, kv_len, q_offset,
     # delta = rowsum(dO * O) per (b, h, t)
     delta = jnp.sum(dot.astype(jnp.float32)
                     * out.transpose(0, 2, 1, 3).astype(jnp.float32), axis=-1)
+    if g_lse is not None:
+        delta = delta - g_lse.astype(jnp.float32)
     delta = jnp.broadcast_to(delta[..., None], delta.shape + (8,))
     meta = _bwd_meta(B, S, T, kv_len, q_offset)
 
@@ -440,6 +447,109 @@ def _flash_bwd(causal, sm_scale, block_q, block_k,
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7, 8))
+def _flash_attention_lse(q, k, v, causal, sm_scale, kv_len, q_offset,
+                         block_q, block_k):
+    """Like _flash_attention but also returns lse [B,Hq,T] — the residual
+    ring attention needs to merge per-block partials exactly."""
+    return _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
+                          block_q, block_k)
+
+
+def _flash_lse_fwd(q, k, v, causal, sm_scale, kv_len, q_offset,
+                   block_q, block_k):
+    out, lse = _flash_forward(q, k, v, causal, sm_scale, kv_len, q_offset,
+                              block_q, block_k)
+    return (out, lse), (q, k, v, out, lse, kv_len, q_offset)
+
+
+def _flash_lse_bwd(causal, sm_scale, block_q, block_k, residuals, gs):
+    q, k, v, out, lse, kv_len, q_offset = residuals
+    g, g_lse = gs
+    # lse residual rides in the padded [B,Hq,T,8] layout; all 8 lanes carry
+    # the same row value, so take lane 0's cotangent scaled by the lane
+    # count the forward broadcast into (sum of identical-lane cotangents).
+    g_lse_rows = g_lse.sum(axis=-1) if g_lse.ndim == 4 else g_lse
+    dq, dk, dv = _flash_backward(q, k, v, out, lse, g, causal, sm_scale,
+                                 kv_len, q_offset, block_q, block_k,
+                                 g_lse=g_lse_rows)
+    return dq, dk, dv, None, None
+
+
+_flash_attention_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
+def mha_reference_with_lse(q, k, v, causal=True, sm_scale=None,
+                           kv_len=None, q_offset=None):
+    """XLA (out, lse) reference — differentiable fallback for
+    flash_attention_with_lse; lse [B,Hq,T]. Masking/position conventions
+    identical to mha_reference."""
+    B, T, Hq, D = q.shape
+    _, S, Hkv, _ = k.shape
+    group = Hq // Hkv
+    scale = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, group, D)
+    logits = jnp.einsum("bthgd,bshd->bhgts", qf,
+                        k.astype(jnp.float32)) * scale
+    live = kv_len[:, None, None] if kv_len is not None \
+        else jnp.full((B, 1, 1), S)
+    if q_offset is None:
+        q_off = jnp.full((B, 1, 1), S - T) if kv_len is None \
+            else jnp.zeros((B, 1, 1), jnp.int32)
+    else:
+        q_off = jnp.broadcast_to(
+            jnp.asarray(q_offset).reshape(-1, 1, 1), (B, 1, 1))
+    k_pos = jnp.broadcast_to(jnp.arange(S)[None, None, :], (B, T, S))
+    mask = k_pos < live
+    if causal:
+        q_pos = jnp.arange(T)[None, :, None] + q_off
+        mask = mask & (q_pos >= k_pos)
+    logits = jnp.where(mask[:, None, None], logits, DEFAULT_MASK_VALUE)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhgts,bshd->bthgd", p / jnp.maximum(l, 1e-30),
+                     v.astype(jnp.float32))
+    row_dead = ~jnp.any(mask, axis=-1)                    # [B, T]
+    lse = (m + jnp.log(jnp.maximum(l, 1e-30)))[..., 0]    # [B,Hkv,g,T]
+    lse = jnp.where(row_dead[:, None, None], -jnp.inf, lse)
+    lse = lse.transpose(0, 1, 2, 3).reshape(B, Hkv * group, T)
+    return out.reshape(B, T, Hq, D).astype(q.dtype), lse
+
+
+def flash_attention_with_lse(q, k, v, *, causal: bool = True,
+                             sm_scale: Optional[float] = None,
+                             kv_len: Optional[jnp.ndarray] = None,
+                             q_offset: Optional[jnp.ndarray] = None,
+                             block_q: int = 512, block_k: int = 512,
+                             use_pallas: Optional[bool] = None):
+    """(out [B,T,Hq,D], lse [B,Hq,T]) — flash_attention that also returns
+    the row logsumexp so callers (ring attention) can merge partial blocks
+    exactly. Differentiable: the lse cotangent folds into the flash
+    backward's delta term."""
+    B, T, Hq, D = q.shape
+    S = k.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def _fit(n, requested):
+        b = min(requested, n)
+        while b >= 8 and n % b:
+            b //= 2
+        return b if b >= 8 and n % b == 0 else None
+
+    bq, bk = _fit(T, block_q), _fit(S, block_k)
+    if not use_pallas or bq is None or bk is None or D % 128 or T < 8:
+        return mha_reference_with_lse(q, k, v, causal=causal,
+                                      sm_scale=sm_scale, kv_len=kv_len,
+                                      q_offset=q_offset)
+    out, lse8 = _flash_attention_lse(q, k, v, causal, sm_scale, kv_len,
+                                     q_offset, bq, bk)
+    return out, lse8[..., 0]
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,

@@ -164,3 +164,66 @@ def test_flash_backward_kernels_match_xla(causal):
     for a, b, name in zip(got, want, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_flash_with_lse_matches_reference_and_grad():
+    """flash_attention_with_lse (Pallas, interpret): forward out+lse parity
+    vs the XLA reference and VJP parity with a loss touching BOTH outputs
+    (the lse cotangent folds into the backward's delta term)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spider_tpu.ops.attention import (flash_attention_with_lse,
+                                          mha_reference_with_lse)
+
+    B, T, Hkv, D = 1, 256, 2, 128
+    group = 2
+    Hq = Hkv * group
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D))
+
+    want_o, want_lse = mha_reference_with_lse(q, k, v, causal=True)
+    with pltpu.force_tpu_interpret_mode():
+        got_o, got_lse = flash_attention_with_lse(q, k, v, causal=True,
+                                                  use_pallas=True,
+                                                  block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss_ref(q, k, v):
+        o, lse = mha_reference_with_lse(q, k, v, causal=True)
+        return jnp.sum(o * o) + 0.3 * jnp.sum(jnp.sin(lse))
+
+    def loss_flash(q, k, v):
+        o, lse = flash_attention_with_lse(q, k, v, causal=True,
+                                          use_pallas=True,
+                                          block_q=128, block_k=128)
+        return jnp.sum(o * o) + 0.3 * jnp.sum(jnp.sin(lse))
+
+    gw = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gg = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gg, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_flash_with_lse_dynamic_q_offset_negative():
+    """Negative q_offset (a future ring block) comes back fully masked:
+    lse = -inf, out = 0 — the ring merge no-op case."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spider_tpu.ops.attention import flash_attention_with_lse
+
+    B, T, H, D = 1, 128, 1, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    with pltpu.force_tpu_interpret_mode():
+        o, lse = flash_attention_with_lse(
+            q, k, v, causal=True, q_offset=jnp.int32(-T),
+            use_pallas=True, block_q=128, block_k=128)
+    assert not np.isfinite(np.asarray(lse)).any()
+    np.testing.assert_array_equal(np.asarray(o), 0.0)

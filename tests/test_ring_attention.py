@@ -55,3 +55,20 @@ def test_ring_differentiable(mesh):
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_flash_path_matches_einsum(mesh, causal):
+    """The Pallas flash-per-block ring (no materialized [Tq,Tk] logits)
+    matches the einsum-block path and full attention (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, H, D = 1, 256, 2, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    want = mha_reference(q, k, v, causal=causal)
+    with pltpu.force_tpu_interpret_mode():
+        got = ring_attention(q, k, v, mesh, causal=causal, use_flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
