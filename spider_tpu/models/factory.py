@@ -41,14 +41,15 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
 
     cfg = L.llama_tiny(vocab_size=len(tokenizer) + 8, lora_r=lora_r)
     llm = L.LlamaForCausalLM(cfg)
-    llm_params = llm.init(rng, jnp.ones((1, 8), jnp.int32))
+    llm_params = random_params_like(llm, rng, jnp.ones((1, 8), jnp.int32))
 
     ib_cfg = imagebind_tiny()
     encoder = ImageBindEncoder(ib_cfg)
-    encoder_params = encoder.init(
-        rng, {"vision": jnp.zeros((1, 3, 2, ib_cfg.image_size, ib_cfg.image_size)),
-              "audio": jnp.zeros((1, 1, ib_cfg.audio_mel_bins,
-                                  ib_cfg.audio_target_len))})
+    encoder_params = random_params_like(
+        encoder, rng,
+        {"vision": jnp.zeros((1, 3, 2, ib_cfg.image_size, ib_cfg.image_size)),
+         "audio": jnp.zeros((1, 1, ib_cfg.audio_mel_bins,
+                             ib_cfg.audio_target_len))})
 
     k1, k2 = jax.random.split(rng)
     llama_proj_params = {
@@ -72,8 +73,9 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
         sam_cfg = sam_tiny()
         sam_prompt_dim = sam_cfg.prompt_embed_dim
         sam_model = Sam(sam_cfg)
-        sam_params = sam_model.init(
-            rng, jnp.zeros((1, 3, sam_cfg.img_size, sam_cfg.img_size)),
+        sam_params = random_params_like(
+            sam_model, rng,
+            jnp.zeros((1, 3, sam_cfg.img_size, sam_cfg.img_size)),
             boxes=jnp.zeros((1, 1, 4)))
         sam = (sam_model, sam_params)
 
@@ -103,8 +105,10 @@ def build_tiny_spider(rng: Optional[jax.Array] = None,
                                 num_input_tokens=spec["alignment_input_tokens"],
                                 num_output_tokens=spec["alignment_output_tokens"],
                                 mode="transformer", hidden_dim=32)
-            params = model.init(rng, jnp.zeros((1, spec["alignment_input_tokens"],
-                                                cfg.hidden_size)))
+            params = random_params_like(
+                model, rng,
+                jnp.zeros((1, spec["alignment_input_tokens"],
+                           cfg.hidden_size)))
             aligners[m] = (model, params)
 
     return Spider(
@@ -155,8 +159,9 @@ def _init_moe_all(model: TextFcLayerMoE, rng, hidden_size, align_specs,
     init = (lambda m: jax.eval_shape(
         functools.partial(model.init, modality=m), rng,
         jnp.zeros((1, 4, hidden_size)))) if abstract else \
-        (lambda m: model.init(rng, jnp.zeros((1, 4, hidden_size)),
-                              modality=m))
+        (lambda m: random_params_like(model, rng,
+                                      jnp.zeros((1, 4, hidden_size)),
+                                      modality=m))
     merged = None
     for m in align_specs:
         p = init(m)

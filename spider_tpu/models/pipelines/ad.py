@@ -235,23 +235,27 @@ def build_tiny_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
     from spider_tpu.models.vocoder import HifiGanConfig, hifigan_tiny
     import dataclasses as dc
 
+    from spider_tpu.models.factory import random_params_like
+
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
     tcfg = clap_tiny(vocab_size=max(len(tokenizer), 300))
     text = ClapTextModel(tcfg)
-    tparams = text.init(rng, jnp.zeros((1, 8), jnp.int32))
+    tparams = random_params_like(text, rng, jnp.zeros((1, 8), jnp.int32))
     ucfg = unet_tiny(cross_attention_dim=tcfg.projection_dim,
                      addition_embed_type="class_embed",
                      projection_dim=tcfg.projection_dim)
     unet = UNet2DConditionModel(ucfg)
-    uparams = unet.init(rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
-                        jnp.zeros((1, 1, tcfg.projection_dim)),
-                        dict(class_embeds=jnp.zeros((1, tcfg.projection_dim))))
+    uparams = random_params_like(
+        unet, rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 1, tcfg.projection_dim)),
+        dict(class_embeds=jnp.zeros((1, tcfg.projection_dim))))
     vcfg = dc.replace(vae_tiny(), in_channels=1, out_channels=1)
     vae = AutoencoderKL(vcfg)
-    vparams = vae.init(rng, jnp.zeros((1, 16, 16, 1)))
+    vparams = random_params_like(vae, rng, jnp.zeros((1, 16, 16, 1)))
     hcfg = hifigan_tiny()
     voc = HifiGan(hcfg)
-    hparams = voc.init(rng, jnp.zeros((1, 16, hcfg.model_in_dim)))
+    hparams = random_params_like(voc, rng,
+                                 jnp.zeros((1, 16, hcfg.model_in_dim)))
     return AudioLDMPipeline(tokenizer, text, tparams, unet, uparams, vae,
                             vparams, voc, hparams, mel_bins=8)

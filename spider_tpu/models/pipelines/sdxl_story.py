@@ -331,25 +331,28 @@ def build_tiny_sdxl(tokenizer=None, rng=None) -> StoryXLPipeline:
     from spider_tpu.models.vae import vae_tiny
     import dataclasses as dc
 
+    from spider_tpu.models.factory import random_params_like
+
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
     t1 = clip_tiny(vocab_size=max(len(tokenizer), 300))
     t2 = dc.replace(clip_tiny(vocab_size=max(len(tokenizer), 300)),
                     hidden_size=48, intermediate_size=96, projection_dim=48)
     enc1 = CLIPTextModel(t1)
-    p1 = enc1.init(rng, jnp.zeros((1, 77), jnp.int32))
+    p1 = random_params_like(enc1, rng, jnp.zeros((1, 77), jnp.int32))
     enc2 = CLIPTextModel(t2)
-    p2 = enc2.init(rng, jnp.zeros((1, 77), jnp.int32))
+    p2 = random_params_like(enc2, rng, jnp.zeros((1, 77), jnp.int32))
     ucfg = unet_tiny(cross_attention_dim=t1.hidden_size + t2.hidden_size,
                      addition_embed_type="text_time",
                      projection_dim=48 + 8 * 6)
     unet = UNet2DConditionModel(ucfg)
-    up = unet.init(rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
-                   jnp.zeros((1, 77, ucfg.cross_attention_dim)),
-                   dict(text_embeds=jnp.zeros((1, 48)),
-                        time_ids=jnp.zeros((1, 6), jnp.float32)))
+    up = random_params_like(
+        unet, rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+        dict(text_embeds=jnp.zeros((1, 48)),
+             time_ids=jnp.zeros((1, 6), jnp.float32)))
     vcfg = vae_tiny()
     vae = AutoencoderKL(vcfg)
-    vp = vae.init(rng, jnp.zeros((1, 16, 16, 3)))
+    vp = random_params_like(vae, rng, jnp.zeros((1, 16, 16, 3)))
     return StoryXLPipeline(tokenizer, tokenizer, enc1, p1, enc2, p2,
                            unet, up, vae, vp, height=16, width=16)

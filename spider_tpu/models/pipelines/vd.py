@@ -255,18 +255,20 @@ def build_tiny_vd(tokenizer=None, rng=None) -> TextToVideoSDPipeline:
     from spider_tpu.models.unet3d import unet3d_tiny
     from spider_tpu.models.vae import vae_tiny
 
+    from spider_tpu.models.factory import random_params_like
+
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
     tcfg = clip_tiny(vocab_size=max(len(tokenizer), 300))
     text = CLIPTextModel(tcfg)
-    tparams = text.init(rng, jnp.zeros((1, 77), jnp.int32))
+    tparams = random_params_like(text, rng, jnp.zeros((1, 77), jnp.int32))
     ucfg = unet3d_tiny(cross_attention_dim=tcfg.hidden_size)
     unet = UNet3DConditionModel(ucfg)
-    uparams = unet.init(rng, jnp.zeros((1, 2, 8, 8, 4)),
-                        jnp.zeros((1,), jnp.int32),
-                        jnp.zeros((1, 77, tcfg.hidden_size)))
+    uparams = random_params_like(unet, rng, jnp.zeros((1, 2, 8, 8, 4)),
+                                 jnp.zeros((1,), jnp.int32),
+                                 jnp.zeros((1, 77, tcfg.hidden_size)))
     vcfg = vae_tiny()
     vae = AutoencoderKL(vcfg)
-    vparams = vae.init(rng, jnp.zeros((1, 16, 16, 3)))
+    vparams = random_params_like(vae, rng, jnp.zeros((1, 16, 16, 3)))
     return TextToVideoSDPipeline(tokenizer, text, tparams, unet, uparams,
                                  vae, vparams)

@@ -350,6 +350,7 @@ def make_imagebind_sd(cfg):
     return sd, model, params
 
 
+@pytest.mark.slow  # 12s; manifest + other roundtrips stay fast
 def test_imagebind_converter_roundtrip():
     from spider_tpu.models.convert import convert_imagebind_state_dict
     from spider_tpu.models.imagebind import imagebind_tiny

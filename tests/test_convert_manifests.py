@@ -23,10 +23,10 @@ FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "convert_keys")
 
 # Cheap families run in the default tier; the deep towers are slow-marked.
 FAST = ("clip_vit_l14", "bert_base", "clap_text", "vae_sd", "vae_audioldm",
-        "hifigan_audioldm", "swin_t", "llama3_8b", "photomaker_v1")
+        "llama3_8b", "photomaker_v1")
 SLOW = ("clip_vit_h14", "clip_bigg", "unet_sd15", "unet_sdxl",
         "unet_audioldm", "unet3d_zeroscope", "sam_vit_h", "imagebind_huge",
-        "grounding_dino_swin_t")
+        "grounding_dino_swin_t", "swin_t", "hifigan_audioldm")
 
 
 class TrackingDict(dict):

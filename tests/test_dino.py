@@ -40,6 +40,7 @@ def test_msda_reference_point_sampling():
     assert float(out[0, 0, 0]) == pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.slow  # 21s; the full DINO forward covers the tower
 def test_swin_stages():
     cfg = swin_test()
     model = SwinTransformer(cfg)

@@ -75,6 +75,7 @@ def test_demo_config_checkpoint_selection(tmp_path):
     assert float(spider.logit_scale) == pytest.approx(3.14)
 
 
+@pytest.mark.slow  # 103s full config build; tiny assembly covers the fast tier
 def test_story_train_config_builds():
     from spider_tpu import register_all, tasks
     from spider_tpu.common.config import Config

@@ -214,6 +214,7 @@ def test_remat_flag_matches_forward_and_grads():
                                    atol=1e-4)
 
 
+@pytest.mark.slow  # 18s; serving spec-decode test is the fast representative
 def test_prompt_lookup_speculative_matches_greedy():
     """Speculative decode commits the EXACT greedy stream (speculation
     changes latency, never results) — repetitive prompt so the n-gram

@@ -4,6 +4,7 @@ TPU-native equivalent of the reference's one-call text+speech generate
 (/root/reference/qwen2.5omni_spider_web.py:468,591-600)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -11,6 +12,7 @@ from spider_tpu.models.omni_speech import (OmniSpeaker,
                                            build_tiny_omni_speech)
 
 
+@pytest.mark.slow  # 31s; deterministic variant is the fast representative
 def test_chat_with_speech_tiny():
     pipe = build_tiny_omni_speech()
     text, wav = pipe.chat_with_speech("hello", max_speech_tokens=6,
@@ -34,6 +36,7 @@ def test_chat_with_speech_deterministic():
     np.testing.assert_array_equal(w1, w2)
 
 
+@pytest.mark.slow  # 16s; speaker table covered by unit path
 def test_named_speaker_and_unknown_speaker():
     import pytest
 

@@ -166,6 +166,7 @@ def test_flash_backward_kernels_match_xla(causal):
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 
 
+@pytest.mark.slow  # 13s interpret VJP; ring fast tests cover the forward
 def test_flash_with_lse_matches_reference_and_grad():
     """flash_attention_with_lse (Pallas, interpret): forward out+lse parity
     vs the XLA reference and VJP parity with a loss touching BOTH outputs

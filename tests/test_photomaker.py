@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spider_tpu.models.photomaker import (build_tiny_photomaker,
                                           preprocess_id_images,
@@ -49,6 +50,7 @@ def test_id_encoder_fuses_only_masked_positions():
     assert np.abs(out[0, 5] - out[0, 6]).max() > 1e-6
 
 
+@pytest.mark.slow  # 23s e2e; fuse/trigger unit tests stay fast
 def test_story_pipeline_ref_image_mode():
     from spider_tpu.models.pipelines.sdxl_story import (build_tiny_sdxl,
                                                         story_generation)

@@ -102,6 +102,7 @@ def _tiny_hf_vision_cfg():
     return cfg
 
 
+@pytest.mark.slow  # 20s torch-parity tier
 def test_audio_tower_matches_transformers():
     """Chunked conv + block-diagonal attention + pool/ln/proj vs the HF
     Qwen2_5OmniAudioEncoder, ragged tail chunk included

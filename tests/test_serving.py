@@ -92,6 +92,7 @@ def test_http_server_roundtrip(decoder_cfg):
     server.shutdown()
 
 
+@pytest.mark.slow  # 107s e2e; http fast tests cover the contract
 def test_spider_inference_api():
     from spider_tpu.models.factory import build_tiny_spider
     from spider_tpu.serving.inference_api import SpiderInference
@@ -459,6 +460,7 @@ def test_llama_chat_fn_speculative_matches_plain(decoder_cfg):
     assert spec(prompt) == plain(prompt)
 
 
+@pytest.mark.slow  # 39s; entry-script smoke tier
 def test_entry_web_scripts_serve():
     """Parity entry scripts r1_llama3_8B_gradio.py / qwen2.5omni_web.py
     boot their HTTP servers and answer a chat request (tiny models)."""

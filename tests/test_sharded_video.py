@@ -25,6 +25,7 @@ def pipe():
     return build_tiny_vd()
 
 
+@pytest.mark.slow  # 29s; end-to-end sharded call stays fast
 def test_sharded_denoise_matches_single_device(pipe, mesh):
     lat_shape = (1, 8, 8, 8, 4)   # F=8 divides sp=4
     latents = jax.random.normal(jax.random.PRNGKey(7), lat_shape,
