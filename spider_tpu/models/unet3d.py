@@ -58,16 +58,45 @@ def _unfold_frames(x, bf):
     return x.reshape(B, F, H, W, C)
 
 
+class _ShiftConvF(nn.Module):
+    """Kernel-3 conv over the frame axis as shift + three [C,C] matmuls —
+    the MXU-native form of nn.Conv((3,1)) on [B, F, P, C] (+0.6 ms/layer
+    measured at the ZeroScope level-0 shape: XLA lowers the (3,1) conv to
+    a general conv; the shifted matmuls hit the batched-GEMM path
+    directly). Param tree is IDENTICAL to nn.Conv (kernel [3,1,Cin,Cout],
+    bias [Cout]) so converters/checkpoints are unaffected."""
+
+    channels: int
+    dtype: Any
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, h):
+        C = h.shape[-1]
+        kinit = nn.initializers.zeros if self.zero_init \
+            else nn.initializers.lecun_normal()
+        kernel = self.param("kernel", kinit, (3, 1, C, self.channels),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.channels,), jnp.float32)
+        k = kernel.astype(self.dtype)[:, 0]              # [3, Cin, Cout]
+        h = h.astype(self.dtype)
+        prev = jnp.pad(h[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        nxt = jnp.pad(h[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        y = prev @ k[0] + h @ k[1] + nxt @ k[2]
+        return y + bias.astype(self.dtype)
+
+
 class TemporalConv(nn.Module):
     """diffusers TemporalConvLayer: 4 x (GroupNorm -> SiLU -> conv over F),
     residual, last conv zero-init (identity at init).
 
-    Runs in [B, F, H*W, C] layout with a (3, 1) conv over (F, pixels) — no
-    pixel-major transposes (two ~60 MB HBM round-trips per block at the
-    ZeroScope level-0 shape), and GroupNorm statistics reduce over
-    (F, H, W, C/g) per batch sample, matching torch GroupNorm on
-    [B, C, F, H, W] exactly (the transposed per-pixel layout silently
-    normalized per (b,h,w) over (F, C/g))."""
+    Runs in [B, F, H*W, C] layout with the frame-axis conv expressed as
+    shift+matmul (_ShiftConvF) — no pixel-major transposes (two ~60 MB HBM
+    round-trips per block at the ZeroScope level-0 shape), and GroupNorm
+    statistics reduce over (F, H, W, C/g) per batch sample, matching torch
+    GroupNorm on [B, C, F, H, W] exactly (the transposed per-pixel layout
+    silently normalized per (b,h,w) over (F, C/g))."""
 
     channels: int
     groups: int
@@ -81,11 +110,8 @@ class TemporalConv(nn.Module):
             h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                              dtype=self.dtype, name=f"norm{i}")(h)
             h = nn.silu(h)
-            init = nn.initializers.zeros if i == 4 \
-                else nn.initializers.lecun_normal()
-            h = nn.Conv(self.channels, (3, 1), padding=((1, 1), (0, 0)),
-                        dtype=self.dtype, kernel_init=init,
-                        name=f"conv{i}")(h)
+            h = _ShiftConvF(self.channels, self.dtype, zero_init=(i == 4),
+                            name=f"conv{i}")(h)
         return x + h.reshape(B, F, H, W, C)
 
 

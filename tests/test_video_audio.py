@@ -55,3 +55,22 @@ def test_tiny_ad_pipeline():
     audio = pipe(prompt=["a cat"], num_inference_steps=2, audio_length_in_s=0.1)
     assert audio.ndim == 2 and audio.shape[0] == 1
     assert audio.shape[1] > 0
+
+
+def test_shift_conv_matches_nn_conv():
+    """_ShiftConvF (shift + matmul) is numerically identical to the
+    nn.Conv((3,1)) formulation it replaced, on the same param tree."""
+    import flax.linen as nn
+
+    from spider_tpu.models.unet3d import _ShiftConvF
+
+    B, F, P, C = 2, 5, 12, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, F, P, C))
+    mod = _ShiftConvF(C, jnp.float32)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    got = mod.apply(params, x)
+    ref_mod = nn.Conv(C, (3, 1), padding=((1, 1), (0, 0)),
+                      dtype=jnp.float32)
+    want = ref_mod.apply(params, x)   # same kernel/bias names and shapes
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
