@@ -475,7 +475,8 @@ def bench_story(n_steps: int = 50):
                        "(4 coupled frames, CFG, bf16)",
                 value=round(n_steps / dt, 2), unit="steps/s",
                 s_per_50step_story=round(dt / n_steps * 50, 1),
-                frames=len(frames))
+                frames=len(frames),
+                cfg_schedule="batched_2B" if pipe.batched_cfg else "split")
 
 
 def main():

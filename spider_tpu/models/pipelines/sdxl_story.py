@@ -76,7 +76,8 @@ class StoryXLPipeline:
                  unet: UNet2DConditionModel, unet_params,
                  vae: AutoencoderKL, vae_params,
                  scheduler: Optional[EulerDiscreteScheduler] = None,
-                 height: int = 768, width: int = 768):
+                 height: int = 768, width: int = 768,
+                 batched_cfg: Optional[bool] = None):
         self.tokenizer = tokenizer
         self.tokenizer_2 = tokenizer_2
         self.text_encoder = text_encoder
@@ -90,6 +91,14 @@ class StoryXLPipeline:
         self.scheduler = scheduler or EulerDiscreteScheduler()
         self.height = height
         self.width = width
+        # CFG scheduling inside the denoise scan: batched runs uncond+cond as
+        # ONE [2B] UNet call per step (num_groups=2 consistency groups) —
+        # one weight read/step and a fuller MXU; split runs two [B] calls,
+        # halving peak activations. TPU HBM fits the batched story step at
+        # 768px, so batched is the default there.
+        if batched_cfg is None:
+            batched_cfg = jax.default_backend() == "tpu"
+        self.batched_cfg = batched_cfg
         self._denoise_cache: Dict[Tuple, Callable] = {}
 
     # ------------------------------------------------------------------ text
@@ -158,36 +167,54 @@ class StoryXLPipeline:
     # --------------------------------------------------------------- denoise
     def _denoise_fn(self, num_steps, guidance_scale, shape, id_length,
                     story_shapes):
-        key = (num_steps, guidance_scale, shape, id_length, story_shapes)
+        key = (num_steps, guidance_scale, shape, id_length, story_shapes,
+               self.batched_cfg)
         if key not in self._denoise_cache:
             sched = self.scheduler
             sigmas, timesteps = sched.sigmas_and_timesteps(num_steps)
+            batched = self.batched_cfg
 
             @jax.jit
             def run(unet_params, latents, ctx, pooled, uncond_ctx,
                     uncond_pooled, time_ids, story_indices):
                 B = latents.shape[0]
                 # id_length is static (cache key); indices are traced arrays.
-                # CFG is SPLIT into two unet calls (uncond, cond): halves the
-                # peak activation memory at 768px+ and each call is a single
-                # consistency group (num_groups=1).
+                # Consistency groups never mix uncond and cond rows: split
+                # CFG makes each call one group; batched CFG stacks them as
+                # two groups of the one [2B] call (num_groups=2).
+                groups = 2 if batched else 1
                 story = {
-                    path: dict(id_length=id_length, indices=idx, num_groups=1)
+                    path: dict(id_length=id_length, indices=idx,
+                               num_groups=groups)
                     for path, idx in story_indices.items()
                 } if story_indices else None
+
+                if batched:
+                    ctx2 = jnp.concatenate([uncond_ctx, ctx], axis=0)
+                    pooled2 = jnp.concatenate([uncond_pooled, pooled], axis=0)
+                    tid2 = jnp.concatenate([time_ids, time_ids], axis=0)
 
                 def step(latents, inp):
                     sigma, sigma_next, t = inp
                     lat_in = sched.scale_model_input(latents, sigma)
-                    tt = jnp.full((B,), t, jnp.int32)
-                    eps_u = self.unet.apply(
-                        unet_params, lat_in, tt, uncond_ctx,
-                        added_cond=dict(text_embeds=uncond_pooled,
-                                        time_ids=time_ids), story=story)
-                    eps_c = self.unet.apply(
-                        unet_params, lat_in, tt, ctx,
-                        added_cond=dict(text_embeds=pooled,
-                                        time_ids=time_ids), story=story)
+                    if batched:
+                        tt = jnp.full((2 * B,), t, jnp.int32)
+                        eps2 = self.unet.apply(
+                            unet_params,
+                            jnp.concatenate([lat_in, lat_in], axis=0), tt,
+                            ctx2, added_cond=dict(text_embeds=pooled2,
+                                                  time_ids=tid2), story=story)
+                        eps_u, eps_c = eps2[:B], eps2[B:]
+                    else:
+                        tt = jnp.full((B,), t, jnp.int32)
+                        eps_u = self.unet.apply(
+                            unet_params, lat_in, tt, uncond_ctx,
+                            added_cond=dict(text_embeds=uncond_pooled,
+                                            time_ids=time_ids), story=story)
+                        eps_c = self.unet.apply(
+                            unet_params, lat_in, tt, ctx,
+                            added_cond=dict(text_embeds=pooled,
+                                            time_ids=time_ids), story=story)
                     eps = eps_u + guidance_scale * (eps_c - eps_u)
                     return sched.step(eps, sigma, sigma_next, latents), None
 

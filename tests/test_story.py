@@ -45,6 +45,22 @@ def test_story_generation_consistency_coupling():
 
 
 @pytest.mark.slow
+def test_story_batched_cfg_matches_split():
+    # The batched [2B] CFG step (num_groups=2) must reproduce the split
+    # two-call schedule exactly: same group banks, same CFG combine.
+    pipe = build_tiny_sdxl()
+    styled, neg = apply_style("Comic book",
+                              ["a fox, in a forest", "a fox, by a river"])
+    kw = dict(negative_prompt=neg, num_inference_steps=2, id_length=2, seed=5)
+    pipe.batched_cfg = False
+    split = pipe(styled, **kw)
+    pipe.batched_cfg = True
+    batched = pipe(styled, **kw)
+    np.testing.assert_allclose(batched, split, atol=2e-2)
+    assert not np.allclose(batched, 0.5)
+
+
+@pytest.mark.slow
 def test_story_fewer_prompts_than_id_length():
     pipe = build_tiny_sdxl()
     frames = story_generation(pipe, general_prompt="a fox",
