@@ -174,6 +174,55 @@ def _attention(q, k, v, heads: int):
     return out.transpose(0, 2, 1, 3).reshape(B, T, C)
 
 
+def _attention_lse(q, k, v, heads: int):
+    """_attention that also returns the per-row logsumexp (fp32, [B,heads,T])
+    so two partial attentions over disjoint key sets can be merged exactly
+    (the story-coupling path: self keys + a group-shared reference bank)."""
+    B, T, C = q.shape
+    S = k.shape[1]
+    D = C // heads
+    logits_bytes = 4 * B * heads * T * S
+    use_flash = (jax.default_backend() == "tpu" and D <= 128
+                 and (T >= 4096
+                      or (D >= 64 and logits_bytes > 512 * 1024 * 1024)))
+    if use_flash:
+        from spider_tpu.ops.attention import flash_attention_with_lse
+
+        qh = q.reshape(B, T, heads, D)
+        kh = k.reshape(B, S, heads, D)
+        vh = v.reshape(B, S, heads, D)
+        if D < 128:
+            pad = [(0, 0)] * 3 + [(0, 128 - D)]
+            qh = jnp.pad(qh, pad)
+            kh = jnp.pad(kh, pad)
+            vh = jnp.pad(vh, pad)
+        Tp = -(-T // 256) * 256
+        Sp = -(-S // 256) * 256
+        kv_len = None
+        if Tp != T:
+            qh = jnp.pad(qh, [(0, 0), (0, Tp - T), (0, 0), (0, 0)])
+        if Sp != S:
+            kh = jnp.pad(kh, [(0, 0), (0, Sp - S), (0, 0), (0, 0)])
+            vh = jnp.pad(vh, [(0, 0), (0, Sp - S), (0, 0), (0, 0)])
+            kv_len = jnp.full((B,), S, jnp.int32)
+        out, lse = flash_attention_with_lse(qh, kh, vh, causal=False,
+                                            kv_len=kv_len,
+                                            sm_scale=1.0 / (D ** 0.5))
+        return (out[:, :T, :, :D].reshape(B, T, C), lse[:, :, :T])
+    qt = q.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+    kt = k.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
+    vt = v.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhtd,bhsd->bhts", qt, kt).astype(jnp.float32) \
+        / (D ** 0.5)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    probs = (p / l).astype(vt.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, vt)
+    lse = (m + jnp.log(l))[..., 0]                       # [B, heads, T]
+    return out.transpose(0, 2, 1, 3).reshape(B, T, C), lse
+
+
 class CrossAttention(nn.Module):
     heads: int
     dtype: Any
@@ -188,23 +237,38 @@ class CrossAttention(nn.Module):
         k = to_k(ctx)
         v = to_v(ctx)
         if extra_kv is not None:
-            # Consistent self-attention: prepend reference tokens' K/V
-            # (StoryDiffusion's SpatialAttnProcessor2_0 semantics). A bank
-            # with a smaller leading dim is per-GROUP shared tokens:
-            # project once, then broadcast the projections to the group's
-            # rows — the pre-projection broadcast recomputed the same K/V
-            # B times (~100 GFLOP/up-block at 768px, the bulk of the
-            # story-coupling overhead beyond the attention itself).
+            # Consistent self-attention: augment self-attn keys with
+            # reference tokens (StoryDiffusion's SpatialAttnProcessor2_0
+            # semantics, softmax over the union of both key sets). A bank
+            # with a smaller leading dim is per-GROUP shared tokens.
             ek, ev = to_k(extra_kv), to_v(extra_kv)
             if ek.shape[0] != k.shape[0]:
+                # Group-shared bank: instead of broadcasting the bank K/V to
+                # every row and concatenating (two [B, K+T, C] HBM copies per
+                # block — measured as the bulk of the story-coupling
+                # overhead), run self-attention and bank-attention SEPARATELY
+                # and merge the two partial softmaxes exactly via their
+                # logsumexps. The bank side folds each group's rows into one
+                # call ([g, rows*T] queries vs [g, K] keys), so bank K/V stay
+                # at group size end-to-end and no concat is materialized.
                 g = ek.shape[0]
-                rows = k.shape[0] // g
-                ek = jnp.broadcast_to(
-                    ek[:, None], (g, rows) + ek.shape[1:]
-                ).reshape((k.shape[0],) + ek.shape[1:])
-                ev = jnp.broadcast_to(
-                    ev[:, None], (g, rows) + ev.shape[1:]
-                ).reshape((v.shape[0],) + ev.shape[1:])
+                B, T, Cq = q.shape
+                rows = B // g
+                D = Cq // self.heads
+                o_self, l_self = _attention_lse(q, k, v, self.heads)
+                qg = q.reshape(g, rows * T, Cq)
+                o_bank, l_bank = _attention_lse(qg, ek, ev, self.heads)
+                o_bank = o_bank.reshape(B, T, Cq)
+                l_bank = (l_bank.reshape(g, self.heads, rows, T)
+                          .transpose(0, 2, 1, 3).reshape(B, self.heads, T))
+                l_tot = jnp.logaddexp(l_self, l_bank)
+                w_self = jnp.exp(l_self - l_tot).transpose(0, 2, 1)[..., None]
+                w_bank = jnp.exp(l_bank - l_tot).transpose(0, 2, 1)[..., None]
+                os_ = o_self.reshape(B, T, self.heads, D).astype(jnp.float32)
+                ob_ = o_bank.reshape(B, T, self.heads, D).astype(jnp.float32)
+                out = ((os_ * w_self + ob_ * w_bank)
+                       .reshape(B, T, Cq).astype(o_self.dtype))
+                return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
             k = jnp.concatenate([ek, k], axis=1)
             v = jnp.concatenate([ev, v], axis=1)
         out = _attention(q, k, v, self.heads)

@@ -68,3 +68,29 @@ def test_story_fewer_prompts_than_id_length():
                               style_name="Photographic", id_length=2,
                               num_inference_steps=2)
     assert len(frames) == 1
+
+
+def test_group_bank_lse_merge_matches_concat():
+    """The group-shared bank path (two partial attentions merged by
+    logsumexp, unet2d.py::CrossAttention) must equal the naive semantics:
+    broadcast the bank to every row, concatenate, softmax over the union
+    (StoryDiffusion's SpatialAttnProcessor2_0)."""
+    from spider_tpu.models.unet2d import CrossAttention
+
+    g, rows, T, K, C, heads = 2, 3, 16, 8, 32, 4
+    B = g * rows
+    rng = jax.random.PRNGKey(0)
+    kx, kb, kp = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (B, T, C), jnp.float32)
+    bank = jax.random.normal(kb, (g, K, C), jnp.float32)
+
+    mod = CrossAttention(heads=heads, dtype=jnp.float32)
+    params = mod.init(kp, x, None, bank)
+    merged = mod.apply(params, x, None, bank)
+
+    # Naive: pre-broadcast the bank to full batch -> concat branch.
+    bank_full = jnp.broadcast_to(bank[:, None], (g, rows, K, C)
+                                 ).reshape(B, K, C)
+    naive = mod.apply(params, x, None, bank_full)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(naive),
+                               atol=1e-5, rtol=1e-5)
