@@ -146,25 +146,62 @@ def stage_video_shard():
     return float(row["modeled_v5e8_video_stage_s"])
 
 
+STAGE_BUDGET_S = 1500  # per-stage wall budget (covers a cold-cache compile)
+A100_STAGE_S = {"decode": 3.0, "image": 1.6, "audio": 2.5, "video": 14.0}
+
+
+def _emit(obj):
+    """One flushed JSON line — every emission must survive a driver timeout
+    (round-3 failure mode: everything buffered, rc=124 left an empty tail)."""
+    import sys
+
+    sys.stdout.write(json.dumps(obj) + "\n")
+    sys.stdout.flush()
+
+
 def _run_stage_subprocess(name: str) -> float:
     """Each stage runs in its own process: HBM starts clean per stage (the
     per-stage-residency serving model — on the v5e-8 target each decoder
     owns its chips) and one stage's allocator state can't destabilize the
-    next (co-resident sequential runs crashed the TPU worker)."""
+    next (co-resident sequential runs crashed the TPU worker).
+
+    stderr is INHERITED (streams live — compile progress and crashes are
+    visible in the driver log as they happen); stdout is captured for the
+    STAGE_S protocol line. A per-stage wall budget bounds a pathological
+    compile so one stage can't eat the whole driver budget silently."""
     import os
     import subprocess
     import sys
+    import time as _t
 
-    code = (f"import bench; import sys; "
-            f"sys.stdout.write('STAGE_S=%r' % bench.stage_{name}())")
-    r = subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(
-        os.path.abspath(__file__)), env=dict(os.environ),
-        capture_output=True, text=True)
+    code = (f"import bench, sys, time; t0=time.perf_counter(); "
+            f"s=bench.stage_{name}(); "
+            f"sys.stdout.write('STAGE_S=%r WALL_S=%r' "
+            f"% (s, time.perf_counter()-t0))")
+    t0 = _t.perf_counter()
+    try:
+        r = subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(
+            os.path.abspath(__file__)), env=dict(os.environ),
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+            timeout=STAGE_BUDGET_S)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"stage {name} exceeded its {STAGE_BUDGET_S}s budget "
+            f"(likely a cold compile cache — rerun to warm .jax_cache)")
     for line in r.stdout.splitlines():
         if line.startswith("STAGE_S="):
-            return float(line.split("=", 1)[1])
-    raise RuntimeError(f"stage {name} failed rc={r.returncode}:\n"
-                       f"{r.stderr[-2000:]}")
+            parts = line.split()
+            measured = float(parts[0].split("=", 1)[1])
+            wall = float(parts[1].split("=", 1)[1])
+            overhead = wall - measured
+            _emit({"stage": name, "s": round(measured, 3),
+                   "wall_s": round(wall, 1),
+                   "setup_compile_s": round(overhead, 1),
+                   "cold_cache": overhead > 60.0,
+                   "elapsed_total_s": round(_t.perf_counter() - t0, 1)})
+            return measured
+    raise RuntimeError(f"stage {name} failed rc={r.returncode} "
+                       f"(stderr streamed above)")
 
 
 def main():
@@ -180,19 +217,42 @@ def main():
         capture_output=True, text=True, env=dict(os.environ))
     on_tpu = probe.stdout.strip().splitlines()[-1] == "tpu" \
         if probe.stdout.strip() else False
+    cache = "/root/repo/.jax_cache"
+    n_cached = len(os.listdir(cache)) if os.path.isdir(cache) else 0
+    _emit({"bench": "start", "backend": "tpu" if on_tpu else "cpu",
+           "jax_cache_entries": n_cached,
+           "note": "cold cache — stages will spend minutes compiling"
+           if n_cached < 10 else "persistent compile cache present"})
     stages = {}
     for name, fn in (("decode", stage_decode), ("image", stage_image),
                      ("audio", stage_audio), ("video", stage_video)):
         if not on_tpu and name != "decode":
             continue  # CPU smoke: the full diffusion stages need the chip
-        stages[name] = _run_stage_subprocess(name) if on_tpu else fn()
+        try:
+            stages[name] = _run_stage_subprocess(name) if on_tpu else fn()
+        except Exception as e:
+            # Emit a best-effort FINAL line from what completed, then stop:
+            # a partial number with an explanation beats an empty tail.
+            _emit({"stage": name, "error": str(e)[-500:]})
+            if stages:
+                done = sum(stages.values())
+                ref = sum(A100_STAGE_S[k] for k in stages)
+                _emit({"metric": f"PARTIAL e2e ({'+'.join(stages)}; "
+                                 f"stage '{name}' failed)",
+                       "value": round(done, 2), "unit": "s/request",
+                       "vs_baseline": round(ref / done, 3),
+                       "stages_s": {k: round(v, 2)
+                                    for k, v in stages.items()}})
+            raise
         gc.collect()
     video_shard_s = None
     if on_tpu:
         try:
             video_shard_s = _run_stage_subprocess("video_shard")
-        except Exception:
-            pass  # modeled line is optional; single-chip rows stand alone
+        except Exception as e:
+            _emit({"stage": "video_shard", "error": str(e)[-500:],
+                   "note": "modeled v5e-8 line omitted; "
+                           "single-chip rows stand alone"})
 
     total = sum(stages.values())
     if on_tpu:
@@ -233,7 +293,7 @@ def main():
             "metric": "e2e decode stage sec (CPU smoke proxy)",
             "value": round(total, 2), "unit": "s", "vs_baseline": 0.0,
         }
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":

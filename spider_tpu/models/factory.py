@@ -434,15 +434,22 @@ def random_params_like(module, rng, *args, scale: float = 0.02, **kwargs):
     scaffolding, so initializer distributions don't matter; real weights
     come from models/convert.py). Float leaves ~ N(0, scale); int leaves 0.
 
-    `method` (flax init method name/fn) is forwarded statically."""
+    Non-array kwargs (`method`, modality strings, flags...) are forwarded
+    statically via functools.partial — jax.eval_shape only accepts array-like
+    leaves, and e.g. the MoE aligner takes `modality: str` (round-3 regression:
+    passing it through eval_shape raised TypeError)."""
     import functools
 
     import numpy as _np
 
-    init = module.init
-    if "method" in kwargs:
-        init = functools.partial(init, method=kwargs.pop("method"))
-    abstract = jax.eval_shape(init, rng, *args, **kwargs)
+    def _is_arrayish(v):
+        return isinstance(v, (jax.Array, _np.ndarray, jax.ShapeDtypeStruct)) \
+            or hasattr(v, "shape") and hasattr(v, "dtype")
+
+    static = {k: v for k, v in kwargs.items() if not _is_arrayish(v)}
+    dynamic = {k: v for k, v in kwargs.items() if k not in static}
+    init = functools.partial(module.init, **static) if static else module.init
+    abstract = jax.eval_shape(init, rng, *args, **dynamic)
     np_rng = _np.random.default_rng(
         int(jax.random.randint(rng, (), 0, 2**31 - 1)))
 
