@@ -1063,10 +1063,12 @@ def convert_omni_talker(sd: Dict[str, np.ndarray], cfg,
     (a Qwen2 decoder — reuses convert_llama_state_dict), codec_head.
     Accepts both bare-talker and full-Omni ('talker.'-prefixed) dicts."""
     if any(k.startswith(prefix) for k in sd):
-        sd = {k[len(prefix):]: v for k, v in sd.items()
+        sd = {k[len(prefix):]: sd[k] for k in list(sd)
               if k.startswith(prefix)}
+    # getitem-based rebuild (not .items()) so key-consumption audits
+    # (tests/test_convert_manifests.py TrackingDict) see these reads
     base = convert_llama_state_dict(
-        {k: v for k, v in sd.items() if k.startswith("model.")},
+        {k: sd[k] for k in list(sd) if k.startswith("model.")},
         cfg.as_llama(), quantize=cfg.quantization)
     p = base["params"]
     p["thinker_to_talker_proj"] = _to_jnp(_d(sd, "thinker_to_talker_proj"))

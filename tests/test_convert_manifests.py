@@ -26,7 +26,21 @@ FAST = ("clip_vit_l14", "bert_base", "clap_text", "vae_sd", "vae_audioldm",
         "llama3_8b", "photomaker_v1")
 SLOW = ("clip_vit_h14", "clip_bigg", "unet_sd15", "unet_sdxl",
         "unet_audioldm", "unet3d_zeroscope", "sam_vit_h", "imagebind_huge",
-        "grounding_dino_swin_t", "swin_t", "hifigan_audioldm")
+        "grounding_dino_swin_t", "swin_t", "hifigan_audioldm",
+        "omni_audio_tower", "omni_vision_tower", "omni_talker", "omni_dit",
+        "omni_bigvgan")
+
+
+# Source tensors a converter INTENTIONALLY leaves unconsumed (each must be
+# justified): recomputed buffers and train-only embeddings. They stay in the
+# fixture (the real checkpoint contains them) but are exempt from the
+# consumption check.
+KNOWN_UNCONSUMED = {
+    # unused at inference (convert.py::convert_omni_audio_tower docstring)
+    "omni_audio_tower": {"audio_bos_eos_token.weight"},
+    # rotary table is a persistent buffer in HF's DiT; we recompute it
+    "omni_dit": {"rotary_embed.inv_freq"},
+}
 
 
 class TrackingDict(dict):
@@ -72,7 +86,8 @@ def _check(name):
         "tools/gen_converter_manifests.py and review the diff")
     tracked = TrackingDict(sd)
     convert(tracked, cfg)
-    unconsumed = sorted(set(sd) - tracked.consumed)
+    unconsumed = sorted(set(sd) - tracked.consumed
+                        - KNOWN_UNCONSUMED.get(name, set()))
     assert not unconsumed, (
         f"{name}: converter silently ignores {len(unconsumed)} source "
         f"tensors, e.g. {unconsumed[:8]}")

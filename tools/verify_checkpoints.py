@@ -37,6 +37,17 @@ KNOWN_EXTRA_SUFFIXES = (
     "rotary_emb.inv_freq",
 )
 
+# Qwen2.5-Omni families live inside ONE combined checkpoint; point each
+# family flag at the same file/dir and the sub-dict is selected by prefix
+# (manifest fixtures record the bare-module keys, prefix stripped).
+OMNI_PREFIXES = {
+    "omni_audio_tower": ("thinker.audio_tower.", "audio_tower."),
+    "omni_vision_tower": ("thinker.visual.", "visual."),
+    "omni_talker": ("talker.",),
+    "omni_dit": ("token2wav.code2wav_dit_model.",),
+    "omni_bigvgan": ("token2wav.code2wav_bigvgan_model.",),
+}
+
 # Families whose real config differs from the manifest config only in
 # widths — the converter must be driven with the REAL config at load time;
 # here we only need it for the convert smoke, so map family -> full cfg.
@@ -78,7 +89,17 @@ def full_config(name):
         "photomaker_v1": __import__(
             "spider_tpu.models.photomaker",
             fromlist=["photomaker_v1"]).photomaker_v1(),
+        "omni_audio_tower": _omni("qwen_omni", "OmniAudioConfig")(),
+        "omni_vision_tower": _omni("qwen_omni", "OmniVisionConfig")(),
+        "omni_talker": _omni("omni_talker", "OmniTalkerConfig")(),
+        "omni_dit": _omni("omni_token2wav", "dit_full")(),
+        "omni_bigvgan": _omni("omni_token2wav", "bigvgan_full")(),
     }[name]
+
+
+def _omni(module, symbol):
+    return getattr(__import__(f"spider_tpu.models.{module}",
+                              fromlist=[symbol]), symbol)
 
 
 def verify_family(name, ckpt_path):
@@ -91,6 +112,12 @@ def verify_family(name, ckpt_path):
     with open(fixture) as f:
         manifest = set(l for l in f.read().splitlines() if l)
     sd = load_torch_state_dict(ckpt_path)
+    for pfx in OMNI_PREFIXES.get(name, ()):
+        if any(k.startswith(pfx) for k in sd):
+            # combined Omni checkpoint: select this family's sub-dict
+            sd = {k[len(pfx):]: v for k, v in sd.items()
+                  if k.startswith(pfx)}
+            break
     if name == "photomaker_v1" and "id_encoder" in sd:
         # photomaker-v1.bin nests {"id_encoder": ..., "lora_weights": ...};
         # the manifest covers the id_encoder sub-dict (the UNet LoRA is
