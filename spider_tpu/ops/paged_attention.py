@@ -49,29 +49,36 @@ def _kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
         v = v_ref[0].astype(jnp.float32)
         Hq, D = q.shape
         q3 = q.reshape(hkv, group, D)
-        # logits[kv, g, p] = sum_d q3[kv, g, d] * k[p, kv, d]
-        logits = jax.lax.dot_general(
-            q3, k, (((2,), (2,)), ((0,), (1,))),
-            preferred_element_type=jnp.float32)       # [Hkv, G, page]
-        logits = logits * sm_scale
-        pos = pi * page + jax.lax.broadcasted_iota(
-            jnp.int32, logits.shape, 2)
-        logits = jnp.where(pos < kv_len, logits, DEFAULT_MASK_VALUE)
+        # Per-kv-head unrolled 2-D matmuls: Mosaic's tpu.matmul requires
+        # equal leading batch dims, which the [Hkv,G,D] x [page,Hkv,D]
+        # batched form violates (observed "batch dims must be equal"
+        # compile failure on chip). hkv is a small compile-time constant
+        # (8 for the 8B GQA decoder) and decode is DMA-bound, so the
+        # unroll costs nothing.
+        for h in range(hkv):
+            # logits[g, p] = sum_d q3[h, g, d] * k[p, h, d]
+            logits = jax.lax.dot_general(
+                q3[h], k[:, h, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [G, page]
+            logits = logits * sm_scale
+            pos = pi * page + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1)
+            logits = jnp.where(pos < kv_len, logits, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[...]                      # [Hkv, G, 1]
-        l_prev = l_scratch[...]
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new)                  # [Hkv, G, page]
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        # pv[kv, g, d] = sum_p p[kv, g, p] * v[p, kv, d]
-        pv = jax.lax.dot_general(
-            p, v, (((2,), (0,)), ((0,), (1,))),
-            preferred_element_type=jnp.float32)       # [Hkv, G, D]
-        acc_scratch[...] = acc_scratch[...] * alpha + pv
-        m_scratch[...] = m_new
-        l_scratch[...] = l_new
+            m_prev = m_scratch[h]                    # [G, 1]
+            l_prev = l_scratch[h]
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(logits - m_new)              # [G, page]
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            # pv[g, d] = sum_p p[g, p] * v[p, h, d]
+            pv = jax.lax.dot_general(
+                p, v[:, h, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [G, D]
+            acc_scratch[h] = acc_scratch[h] * alpha + pv
+            m_scratch[h] = m_new
+            l_scratch[h] = l_new
 
     @pl.when(pi == n_pages - 1)
     def _finish():
