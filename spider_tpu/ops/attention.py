@@ -543,7 +543,7 @@ def flash_attention_with_lse(q, k, v, *, causal: bool = True,
         return b if b >= 8 and n % b == 0 else None
 
     bq, bk = _fit(T, block_q), _fit(S, block_k)
-    if not use_pallas or bq is None or bk is None or D % 128 or T < 8:
+    if not use_pallas or bq is None or bk is None or D % 64 or T < 8:
         return mha_reference_with_lse(q, k, v, causal=causal,
                                       sm_scale=sm_scale, kv_len=kv_len,
                                       q_offset=q_offset)
@@ -587,8 +587,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         return b if b >= 8 and n % b == 0 else None
 
     bq, bk = _fit(T, block_q), _fit(S, block_k)
-    # Tiny/ragged shapes: XLA path.
-    if not use_pallas or bq is None or bk is None or D % 128 or T < 8:
+    # Tiny/ragged shapes: XLA path. D=64 runs the kernel natively (Mosaic
+    # tiles a 64-lane last dim; measured on-par with padding D to 128 at the
+    # SDXL operating points — the kernel is not MXU-bound there — so callers
+    # may pass D=64 directly instead of zero-padding).
+    if not use_pallas or bq is None or bk is None or D % 64 or T < 8:
         return mha_reference(q, k, v, causal=causal, sm_scale=sm_scale,
                              kv_len=kv_len, q_offset=q_offset)
     return _flash_attention(q, k, v, causal, sm_scale, kv_len, q_offset,

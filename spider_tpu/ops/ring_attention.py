@@ -82,6 +82,17 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             # <= -T_local for future blocks (fully masked -> lse = -inf).
             rel = (my - src) * T_local
 
+            # Rotate FIRST, compute on the block we already hold: the
+            # ppermute has no data dependence on this step's flash call, so
+            # XLA's async collective-permute (start/done pair) overlaps the
+            # ICI transfer with the per-block kernel — the classic
+            # double-buffered ring. (The final iteration's rotate is a wasted
+            # T_local slab per device; keeping the scan body uniform beats
+            # special-casing it with a cond that would break the overlap.)
+            perm = [(j, (j + 1) % n) for j in range(n)]
+            k_next = jax.lax.ppermute(k_blk, axis, perm)
+            v_next = jax.lax.ppermute(v_blk, axis, perm)
+
             if use_flash:
                 o_b, lse_b = flash_attention_with_lse(
                     q, k_blk, v_blk, causal=causal, sm_scale=sm_scale,
@@ -110,11 +121,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      + o_b.astype(jnp.float32) * (wb / wsum)[..., None])
             lse_total = jnp.where(jnp.isfinite(m_new),
                                   m_safe + jnp.log(wsum), -jnp.inf)
-            # rotate k/v to the next device
-            perm = [(j, (j + 1) % n) for j in range(n)]
-            k_blk = jax.lax.ppermute(k_blk, axis, perm)
-            v_blk = jax.lax.ppermute(v_blk, axis, perm)
-            return (k_blk, v_blk, o_run, lse_total), None
+            return (k_next, v_next, o_run, lse_total), None
 
         o0 = jnp.zeros(q.shape[:3] + (D,), jnp.float32)
         lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
