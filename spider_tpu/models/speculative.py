@@ -112,3 +112,104 @@ def speculative_generate(model: LlamaForCausalLM, params,
         kv_len += committed
         cur = out[-1]
     return out[:N]
+
+
+def speculative_generate_ondevice(model: LlamaForCausalLM, params,
+                                  input_ids: Sequence[int],
+                                  cfg: PromptLookupConfig) -> List[int]:
+    """speculative_generate with the ENTIRE propose+verify+commit loop as a
+    single jitted ``lax.while_loop`` — two dispatches total (prefill +
+    decode) instead of one verify dispatch per window. On hosts where the
+    per-dispatch relay overhead rivals the verify forward itself (~30 ms on
+    the axon tunnel, bench_details speculative row), the host-driven loop
+    LOSES to plain decode; this form removes the dispatch bound entirely.
+    Committed stream is byte-identical to speculative_generate (same greedy
+    verification; tests/test_llama.py asserts equality vs stepped greedy).
+    """
+    ids = [int(t) for t in input_ids]
+    T = len(ids)
+    N = cfg.max_new_tokens
+    G = max(2, cfg.gamma)
+    K = max(1, cfg.max_ngram)
+    MAXLEN = T + N + G
+    eos_arr = jnp.asarray(list(cfg.eos_ids) or [-1], jnp.int32)
+    pad_id = jnp.int32(cfg.pad_id)
+    cache = init_kv_cache(model.config, 1, T + N + G)
+
+    @jax.jit
+    def prefill(params, cache, ids_arr, plen):
+        emb = model.apply(params, ids_arr, method=model.embed)
+        positions = jnp.arange(ids_arr.shape[1], dtype=jnp.int32)[None]
+        logits, _, cache = model.apply(
+            params, inputs_embeds=emb, positions=positions,
+            kv_write_index=0, kv_cache=cache, kv_len=plen)
+        return jnp.argmax(logits[0, -1], -1).astype(jnp.int32), cache
+
+    def propose_dev(buf, L):
+        """Device port of propose(): longest-k suffix match, latest
+        occurrence, continuation tokens masked to the live prefix."""
+        n = G - 1
+        drafts, founds = [], []
+        for k in range(K, 0, -1):
+            pat = jax.lax.dynamic_slice(buf, (jnp.maximum(L - k, 0),), (k,))
+            eq = jnp.ones((MAXLEN - k,), bool)
+            for j in range(k):
+                eq = eq & (buf[j:MAXLEN - k + j] == pat[j])
+            # s must leave >= 1 continuation token inside the prefix
+            s_idx = jnp.arange(MAXLEN - k, dtype=jnp.int32)
+            cand = eq & (s_idx <= L - k - 1)
+            s_star = jnp.max(jnp.where(cand, s_idx, -1))
+            found = (s_star >= 0) & (L - 1 >= k)
+            start = jnp.maximum(s_star, 0) + k
+            cont = jax.lax.dynamic_slice(buf, (start,), (n,))
+            pos = start + jnp.arange(n, dtype=jnp.int32)
+            drafts.append(jnp.where(pos < L, cont, pad_id))
+            founds.append(found)
+        draft = jnp.full((n,), pad_id, jnp.int32)
+        for d, f in zip(reversed(drafts), reversed(founds)):
+            draft = jnp.where(f, d, draft)        # longest k wins last
+        return draft
+
+    @jax.jit
+    def decode(params, cache, buf, cur):
+        def cond(state):
+            _, _, _, _, done = state
+            return ~done
+
+        def body(state):
+            buf, out_len, cur, cache, done = state
+            L = T + out_len
+            kv_len = T + out_len - 1              # cur's KV still pending
+            draft = propose_dev(buf, L)
+            window = jnp.concatenate([cur[None], draft])[None]     # [1, G]
+            emb = model.apply(params, window, method=model.embed)
+            positions = kv_len + jnp.arange(G, dtype=jnp.int32)[None]
+            logits, _, cache = model.apply(
+                params, inputs_embeds=emb, positions=positions,
+                kv_write_index=jnp.asarray([kv_len], jnp.int32),
+                kv_cache=cache,
+                kv_len=jnp.asarray([kv_len + G], jnp.int32))
+            preds = jnp.argmax(logits[0], -1).astype(jnp.int32)    # [G]
+            is_eos = jnp.any(preds[:, None] == eos_arr[None], -1)  # [G]
+            ok = (draft == preds[:-1]) & ~is_eos[:-1]
+            c = 1 + jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
+            c = jnp.minimum(c, N - out_len)
+            buf = jax.lax.dynamic_update_slice(buf, preds, (L,))
+            cur = preds[c - 1]
+            out_len = out_len + c
+            done = (out_len >= N) | jnp.any(cur == eos_arr)
+            return buf, out_len, cur, cache, done
+
+        state = (buf, jnp.int32(1), cur, cache,
+                 (jnp.int32(1) >= N) | jnp.any(cur == eos_arr))
+        buf, out_len, cur, cache, _ = jax.lax.while_loop(cond, body, state)
+        return buf, out_len
+
+    cur, cache = prefill(params, cache, jnp.asarray([ids], jnp.int32),
+                         jnp.asarray([T], jnp.int32))
+    buf = jnp.zeros((MAXLEN,), jnp.int32)
+    buf = buf.at[:T].set(jnp.asarray(ids, jnp.int32))
+    buf = buf.at[T].set(cur)
+    buf, out_len = decode(params, cache, buf, cur)
+    out_len = int(out_len)
+    return [int(t) for t in np.asarray(buf[T:T + out_len])]

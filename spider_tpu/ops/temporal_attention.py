@@ -54,13 +54,18 @@ def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         use_blockdiag = False
 
     if not use_blockdiag:
+        # Logits laid out [B,H,F,G,P]: pixels ride the 128-lane axis and the
+        # softmax over G reduces across sublanes — the [.., F, G] layout
+        # keeps only 16 of 128 lanes live through the whole softmax chain.
+        # Measured on chip (round 4, _vd_profile3): 327.6 -> 320.8 ms per
+        # full UNet3D CFG step, output bit-identical.
         q4 = q.reshape(B, F, P, H, D)
         k4 = k.reshape(B, F, P, H, D)
         v4 = v.reshape(B, F, P, H, D)
-        logits = jnp.einsum("bfphd,bgphd->bphfg", q4, k4)
+        logits = jnp.einsum("bfphd,bgphd->bhfgp", q4, k4)
         logits = logits.astype(jnp.float32) * scale
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bphfg,bgphd->bfphd", probs, v4)
+        probs = jax.nn.softmax(logits, axis=3).astype(v.dtype)
+        out = jnp.einsum("bhfgp,bgphd->bfphd", probs, v4)
         return out.reshape(B, F, P, C)
 
     def hf(x):                               # [B,F,P,C] -> [B,P,H*F,D]

@@ -175,10 +175,14 @@ def make_llama_chat_fn(model, params, tokenizer, max_new_tokens: int = 512,
     def chat_fn(prompt: str) -> str:
         ids = tokenizer(prompt, add_special_tokens=True).input_ids
         if speculative and temperature <= 0.0:
-            from spider_tpu.models.speculative import (PromptLookupConfig,
-                                                       speculative_generate)
+            # On-device loop: 2 dispatches per reply instead of one per
+            # verify window — the host-driven loop loses its entire
+            # speculation gain to per-dispatch relay overhead (~30 ms on
+            # axon; bench_details speculative row).
+            from spider_tpu.models.speculative import (
+                PromptLookupConfig, speculative_generate_ondevice)
 
-            toks = speculative_generate(
+            toks = speculative_generate_ondevice(
                 model, params, ids,
                 PromptLookupConfig(max_new_tokens=max_new_tokens,
                                    eos_ids=(tokenizer.eos_token_id,),

@@ -257,3 +257,27 @@ def test_prompt_lookup_propose():
     assert propose(seq, 2, 3, 0) == [9, 8]     # 3-gram [1,2,3] -> 9,8
     assert propose([5, 6, 7], 3, 3, 0) == [0, 0, 0]  # no repeat -> pads
     assert propose([4, 4], 2, 3, 0) == [4, 0]  # 1-gram fallback
+
+
+def test_speculative_ondevice_matches_host_loop():
+    """The single-dispatch while_loop form commits the exact same stream
+    as the host-driven speculative loop (which itself equals stepped
+    greedy, asserted above)."""
+    import numpy as np
+
+    from spider_tpu.models.speculative import (PromptLookupConfig,
+                                               speculative_generate,
+                                               speculative_generate_ondevice)
+
+    cfg = L.llama_tiny(vocab_size=64)
+    model = L.LlamaForCausalLM(cfg)
+    ids = [3, 9, 4, 7, 3, 9, 4, 7, 3, 9]
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray([ids], jnp.int32))
+
+    for gamma in (2, 4, 8):
+        pc = PromptLookupConfig(max_new_tokens=24, gamma=gamma,
+                                eos_ids=(63,), pad_id=0)
+        host = speculative_generate(model, params, ids, pc)
+        dev = speculative_generate_ondevice(model, params, ids, pc)
+        assert dev == host, (gamma, dev, host)
