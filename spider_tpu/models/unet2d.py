@@ -174,6 +174,14 @@ def _attention(q, k, v, heads: int):
     return out.transpose(0, 2, 1, 3).reshape(B, T, C)
 
 
+# Flash threshold for the LSE (story-coupling) path. The plain _attention
+# einsum/flash crossover was tuned at 512 MB of f32 logits; the LSE path
+# additionally has to RETURN its logsumexp for the merge, which blocks
+# XLA's softmax-chain fusion and makes the einsum form materialize the
+# logits — so flash pays off much earlier here. Module-level for A/B.
+LSE_FLASH_BYTES = 512 * 1024 * 1024
+
+
 def _attention_lse(q, k, v, heads: int):
     """_attention that also returns the per-row logsumexp (fp32, [B,heads,T])
     so two partial attentions over disjoint key sets can be merged exactly
@@ -184,7 +192,7 @@ def _attention_lse(q, k, v, heads: int):
     logits_bytes = 4 * B * heads * T * S
     use_flash = (jax.default_backend() == "tpu" and D <= 128
                  and (T >= 4096
-                      or (D >= 64 and logits_bytes > 512 * 1024 * 1024)))
+                      or (D >= 64 and logits_bytes > LSE_FLASH_BYTES)))
     if use_flash:
         from spider_tpu.ops.attention import flash_attention_with_lse
 
@@ -266,6 +274,11 @@ class CrossAttention(nn.Module):
                 B, T, Cq = q.shape
                 rows = B // g
                 D = Cq // self.heads
+                if STORY_BANK_IMPL == "self_only":
+                    # Ablation only (tools/story_ab.py): drop the bank —
+                    # measures the coupling plumbing without its math.
+                    out = _attention(q, k, v, self.heads)
+                    return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
                 if STORY_BANK_IMPL == "concat":
                     K = ek.shape[1]
                     ekb = jnp.broadcast_to(ek[:, None], (g, rows, K, Cq)) \

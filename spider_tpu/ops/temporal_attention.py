@@ -8,30 +8,125 @@ per attention core at the 40x72 level (tools/ab_temporal.py,
 tools/profile_vd_micro.py), the single largest inefficiency in the video
 denoise step.
 
-TPU formulation (measured 3.1 ms, bit-identical output): fold (head,
-frame) into one 128-row axis and compute the FULL [H*F, H*F] logit matrix
-per pixel — a proper 128 x D x 128 MXU tile instead of 16 x D x 16
-fragments — then mask cross-head blocks with -inf so softmax zeroes them.
-The masked softmax over a row equals the per-head softmax exactly (the
-off-block terms contribute exp(-inf) = 0), so the H-fold FLOP waste buys
-full MXU tiles and needs no diagonal extract/rebuild pass.
+TPU formulation (round 4, the default on chip): a Pallas kernel that folds
+(head, frame) into one [H*F, D] matrix per pixel and computes the FULL
+[H*F, H*F] logit matrix on the MXU — one proper 128x128 tile for
+ZeroScope's H=8, F=16 instead of 16 x D x 16 fragments — masked to the
+F-wide block diagonal (row h*F+f sees col h'*F+g iff h == h', i.e.
+x//F == y//F) so the masked softmax equals the per-head softmax exactly.
+The grid tiles pixels (<= 8 per step) so logits live only in VMEM.
 
-A Pallas VPU kernel was tried first and LOST to this XLA form (9.9 ms vs
-3.1: the F-unrolled broadcast-reduce starves the VPU, and a head_dim=40
-lane layout pads 40 -> 128 and blows VMEM). Kept here as a war note.
+War notes from earlier rounds, kept because each shaped the design:
+  * a Pallas VPU kernel (F-unrolled broadcast-reduce) LOST 9.9 ms vs
+    3.1 ms isolated — elementwise frame-attention starves the VPU and a
+    head_dim=40 lane layout pads 40 -> 128 per frame and blows VMEM;
+  * the same H-fold expressed in XLA (use_blockdiag below) wins isolated
+    (3.1 ms vs 5.7) but REGRESSES the full denoise 13.3 -> 14.3 s: its
+    [B,P,HF,HF] logits materialize in HBM and break XLA's fusion of the
+    surrounding chain. The Pallas form keeps the fold without the
+    materialization and wins both isolated and in-graph.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _tattn_kernel(q_ref, k_ref, v_ref, o_ref, *, frames: int, scale: float,
+                  px: int):
+    """One (batch, pixel-tile) step. Refs are [1, px, H*F, D] VMEM blocks —
+    the (head, frame) fold happens OUTSIDE in XLA (a reshape/transpose that
+    fuses into the surrounding projections; Mosaic cannot split the lane
+    dim C -> (H, D) in-kernel).
+
+    Per pixel: one FULL [H*F, H*F] logit matmul on the MXU (one 128x128
+    tile for ZeroScope's H=8, F=16) masked to the F-wide block diagonal
+    before softmax. Row x = h*F + f and col y = h'*F + g are valid iff
+    x//F == y//F, which encodes "same head" in one compare; -inf entries
+    contribute exp(-inf) = 0, so the masked softmax equals the per-head
+    softmax exactly. Unlike the XLA blockdiag fold (module docstring),
+    logits never leave VMEM — no HBM materialization / fusion barrier.
+    """
+    N = q_ref.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // frames
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // frames
+    mask = row == col
+    for p in range(px):                      # static unroll over the tile
+        qp, kp, vp = q_ref[0, p], k_ref[0, p], v_ref[0, p]     # [N, D]
+        logits = jax.lax.dot_general(
+            qp, kp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = jnp.where(mask, logits * scale, _MASK)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        probs = (e / s).astype(vp.dtype)
+        o_ref[0, p] = jax.lax.dot_general(
+            probs, vp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _tattn_pallas_fwd(q, k, v, heads: int, scale: float) -> jnp.ndarray:
+    B, F, P, C = q.shape
+    H = heads
+    D = C // H
+    N = H * F
+
+    def fold(x):                             # [B,F,P,C] -> [B,P,H*F,D]
+        return (x.reshape(B, F, P, H, D).transpose(0, 2, 3, 1, 4)
+                .reshape(B, P, N, D))
+
+    # Pixel tile: P that isn't a multiple of px is handled by the cdiv
+    # grid — edge blocks are padded on read and masked on write, and
+    # per-pixel attention can't cross-contaminate. The block's last two
+    # dims (H*F, D) satisfy Mosaic's (8k, full-dim) tiling rule.
+    px = 8
+    spec = pl.BlockSpec((1, px, N, D), lambda b, j: (b, j, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_tattn_kernel, frames=F, scale=scale, px=px),
+        grid=(B, pl.cdiv(P, px)),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, N, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",   # CPU parity tests
+    )(fold(q), fold(k), fold(v))
+    return (out.reshape(B, P, H, F, D).transpose(0, 3, 1, 2, 4)
+            .reshape(B, F, P, C))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _tattn_pallas(q, k, v, heads: int, scale: float):
+    return _tattn_pallas_fwd(q, k, v, heads, scale)
+
+
+def _tattn_pallas_vjp_fwd(q, k, v, heads, scale):
+    return _tattn_pallas_fwd(q, k, v, heads, scale), (q, k, v)
+
+
+def _tattn_pallas_vjp_bwd(heads, scale, res, g):
+    # Recompute through the differentiable einsum reference: same function,
+    # so the cotangents are exact (up to f32 association).
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: temporal_attention(
+        q_, k_, v_, heads, scale=scale, use_pallas=False), q, k, v)
+    return vjp(g)
+
+
+_tattn_pallas.defvjp(_tattn_pallas_vjp_fwd, _tattn_pallas_vjp_bwd)
 
 
 def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        heads: int, *, scale: Optional[float] = None,
-                       use_blockdiag: Optional[bool] = None) -> jnp.ndarray:
+                       use_blockdiag: Optional[bool] = None,
+                       use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Frame-axis attention at every pixel.
 
     q, k, v: [B, F, P, C] with C = heads * head_dim; attention is over F
@@ -42,6 +137,13 @@ def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     D = C // H
     if scale is None:
         scale = 1.0 / (D ** 0.5)
+    if use_pallas is None:
+        # The Pallas path wants a full-ish MXU tile per pixel (H*F >= 64)
+        # and pays off when P is large enough to amortize the grid.
+        use_pallas = (jax.default_backend() == "tpu" and H * F >= 64
+                      and H * F <= 1024 and P >= 32 and C % H == 0)
+    if use_pallas:
+        return _tattn_pallas(q, k, v, H, float(scale))
     if use_blockdiag is None:
         # Measured VERDICT (tools/ab_temporal.py + full-pipeline A/B on
         # chip): ISOLATED the fold wins 3.1 ms vs 5.7 ms — but inside the

@@ -70,6 +70,31 @@ def test_temporal_attention_matches_einsum():
                                atol=2e-6, rtol=1e-5)
 
 
+def test_temporal_attention_pallas_matches():
+    """The Pallas per-pixel-fold kernel == per-head einsum (interpret mode
+    on CPU), forward and VJP, including a P not divisible by 8."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spider_tpu.ops.temporal_attention import temporal_attention
+
+    rng = np.random.default_rng(1)
+    for B, F, P, C, H in [(2, 6, 320, 32, 4), (1, 16, 45, 64, 8)]:
+        q, k, v = (jnp.asarray(rng.normal(0, 1, (B, F, P, C)), jnp.float32)
+                   for _ in range(3))
+        ref = temporal_attention(q, k, v, H, use_pallas=False)
+        out = temporal_attention(q, k, v, H, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        gp = jax.grad(lambda q_: temporal_attention(
+            q_, k, v, H, use_pallas=True).sum())(q)
+        gr = jax.grad(lambda q_: temporal_attention(
+            q_, k, v, H, use_pallas=False).sum())(q)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=2e-4, rtol=1e-4)
+
+
 def test_paged_attention_kernel_matches():
     """Pallas paged decode attention == gather+einsum reference, ragged
     kv_len across slots, GQA (interpret mode on CPU)."""
