@@ -119,13 +119,16 @@ class TemporalBasicBlock(nn.Module):
     """BasicTransformerBlock over the frame axis (attn1 + attn2 both
     self-attention here — diffusers passes no temporal context).
 
-    Input is [B, F, P, C] (pixels stay in place); the frame-axis attention
-    core routes through ops.temporal_attention — the (head, frame)-folded
-    masked full-tile formulation that replaced ~46k tiny einsum matmuls
-    per call (exact; 5.7 -> 3.1 ms per core at ZeroScope's 40x72 level)."""
+    Input is [B, F, P, C] (layout="bfpc") or [B, P, F, C] ("bpfc" —
+    pixel-major, lets the Pallas attention fold frames with a free
+    reshape); every sub-op is last-dim so the block is layout-agnostic.
+    The frame-axis attention core routes through ops.temporal_attention —
+    the (head, frame)-folded masked full-tile formulation that replaced
+    ~46k tiny einsum matmuls per call."""
 
     heads: int
     dtype: Any
+    layout: str = "bfpc"
 
     @nn.compact
     def __call__(self, h):
@@ -141,7 +144,7 @@ class TemporalBasicBlock(nn.Module):
                          name=f"{name}_k")(x)
             v = nn.Dense(C, use_bias=False, dtype=self.dtype,
                          name=f"{name}_v")(x)
-            out = temporal_attention(q, k, v, nh)
+            out = temporal_attention(q, k, v, nh, layout=self.layout)
             return nn.Dense(C, dtype=self.dtype, name=f"{name}_out")(out)
 
         h = h + attn("attn1", nn.LayerNorm(dtype=self.dtype, name="norm1")(h))
@@ -172,6 +175,12 @@ class TransformerTemporal(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm")(h)
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        # Layout note (measured, round 4): running the blocks pixel-major
+        # ([B, HW, F, C], layout="bpfc" — one transpose in/out instead of a
+        # fold-transpose around every attention core) REGRESSED the full
+        # step 301.7 -> 307.6 ms: XLA fuses the per-call 5D folds into the
+        # projection epilogues better than it handles the standalone
+        # module-level transpose. Frame-major stays.
         for i in range(self.depth):
             h = TemporalBasicBlock(self.heads, self.dtype,
                                    name=f"block_{i}")(h)

@@ -14,7 +14,8 @@ TPU formulation (round 4, the default on chip): a Pallas kernel that folds
 ZeroScope's H=8, F=16 instead of 16 x D x 16 fragments — masked to the
 F-wide block diagonal (row h*F+f sees col h'*F+g iff h == h', i.e.
 x//F == y//F) so the masked softmax equals the per-head softmax exactly.
-The grid tiles pixels (<= 8 per step) so logits live only in VMEM.
+The grid tiles pixels (16 per step, measured optimum) so logits live
+only in VMEM.
 
 War notes from earlier rounds, kept because each shaped the design:
   * a Pallas VPU kernel (F-unrolled broadcast-reduce) LOST 9.9 ms vs
@@ -38,10 +39,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
+_TATTN_PX = 16
 
 
-def _tattn_kernel(q_ref, k_ref, v_ref, o_ref, *, frames: int, scale: float,
-                  px: int):
+def _tattn_kernel(q_ref, k_ref, v_ref, o_ref, *, frames: int, heads: int,
+                  pixel_major: bool, scale: float, px: int):
     """One (batch, pixel-tile) step. Refs are [1, px, H*F, D] VMEM blocks —
     the (head, frame) fold happens OUTSIDE in XLA (a reshape/transpose that
     fuses into the surrounding projections; Mosaic cannot split the lane
@@ -56,9 +58,15 @@ def _tattn_kernel(q_ref, k_ref, v_ref, o_ref, *, frames: int, scale: float,
     logits never leave VMEM — no HBM materialization / fusion barrier.
     """
     N = q_ref.shape[2]
-    row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // frames
-    col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // frames
-    mask = row == col
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    if pixel_major:
+        # F-major fold (rows f*H + h, from a FREE [B,P,F,C] reshape):
+        # same head <=> same residue mod H.
+        mask = (row % heads) == (col % heads)
+    else:
+        # H-major fold (rows h*F + f): same head <=> same F-wide block.
+        mask = (row // frames) == (col // frames)
     for p in range(px):                      # static unroll over the tile
         qp, kp, vp = q_ref[0, p], k_ref[0, p], v_ref[0, p]     # [N, D]
         logits = jax.lax.dot_general(
@@ -74,49 +82,64 @@ def _tattn_kernel(q_ref, k_ref, v_ref, o_ref, *, frames: int, scale: float,
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _tattn_pallas_fwd(q, k, v, heads: int, scale: float) -> jnp.ndarray:
-    B, F, P, C = q.shape
+def _tattn_pallas_fwd(q, k, v, heads: int, pixel_major: bool,
+                      scale: float) -> jnp.ndarray:
+    if pixel_major:
+        B, P, F, C = q.shape
+    else:
+        B, F, P, C = q.shape
     H = heads
     D = C // H
     N = H * F
 
-    def fold(x):                             # [B,F,P,C] -> [B,P,H*F,D]
-        return (x.reshape(B, F, P, H, D).transpose(0, 2, 3, 1, 4)
-                .reshape(B, P, N, D))
+    if pixel_major:
+        def fold(x):                         # [B,P,F,C] -> [B,P,F*H,D]
+            return x.reshape(B, P, N, D)     # rows f*H + h — FREE
+    else:
+        def fold(x):                         # [B,F,P,C] -> [B,P,H*F,D]
+            return (x.reshape(B, F, P, H, D).transpose(0, 2, 3, 1, 4)
+                    .reshape(B, P, N, D))
 
     # Pixel tile: P that isn't a multiple of px is handled by the cdiv
     # grid — edge blocks are padded on read and masked on write, and
     # per-pixel attention can't cross-contaminate. The block's last two
     # dims (H*F, D) satisfy Mosaic's (8k, full-dim) tiling rule.
-    px = 8
+    # px=16 measured best in the full UNet3D step (301.6/299.3/299.5 ms
+    # at px=8/16/32); module-level for benches to sweep.
+    px = _TATTN_PX
     spec = pl.BlockSpec((1, px, N, D), lambda b, j: (b, j, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_tattn_kernel, frames=F, scale=scale, px=px),
+        functools.partial(_tattn_kernel, frames=F, heads=H,
+                          pixel_major=pixel_major, scale=scale, px=px),
         grid=(B, pl.cdiv(P, px)),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, P, N, D), q.dtype),
         interpret=jax.default_backend() != "tpu",   # CPU parity tests
     )(fold(q), fold(k), fold(v))
+    if pixel_major:
+        return out.reshape(B, P, F, C)
     return (out.reshape(B, P, H, F, D).transpose(0, 3, 1, 2, 4)
             .reshape(B, F, P, C))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _tattn_pallas(q, k, v, heads: int, scale: float):
-    return _tattn_pallas_fwd(q, k, v, heads, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _tattn_pallas(q, k, v, heads: int, pixel_major: bool, scale: float):
+    return _tattn_pallas_fwd(q, k, v, heads, pixel_major, scale)
 
 
-def _tattn_pallas_vjp_fwd(q, k, v, heads, scale):
-    return _tattn_pallas_fwd(q, k, v, heads, scale), (q, k, v)
+def _tattn_pallas_vjp_fwd(q, k, v, heads, pixel_major, scale):
+    return _tattn_pallas_fwd(q, k, v, heads, pixel_major, scale), (q, k, v)
 
 
-def _tattn_pallas_vjp_bwd(heads, scale, res, g):
+def _tattn_pallas_vjp_bwd(heads, pixel_major, scale, res, g):
     # Recompute through the differentiable einsum reference: same function,
     # so the cotangents are exact (up to f32 association).
     q, k, v = res
+    layout = "bpfc" if pixel_major else "bfpc"
     _, vjp = jax.vjp(lambda q_, k_, v_: temporal_attention(
-        q_, k_, v_, heads, scale=scale, use_pallas=False), q, k, v)
+        q_, k_, v_, heads, scale=scale, use_pallas=False, layout=layout),
+        q, k, v)
     return vjp(g)
 
 
@@ -126,13 +149,25 @@ _tattn_pallas.defvjp(_tattn_pallas_vjp_fwd, _tattn_pallas_vjp_bwd)
 def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        heads: int, *, scale: Optional[float] = None,
                        use_blockdiag: Optional[bool] = None,
-                       use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                       use_pallas: Optional[bool] = None,
+                       layout: str = "bfpc") -> jnp.ndarray:
     """Frame-axis attention at every pixel.
 
-    q, k, v: [B, F, P, C] with C = heads * head_dim; attention is over F
-    independently per (pixel, head). Returns [B, F, P, C].
+    q, k, v: [B, F, P, C] (layout="bfpc") or [B, P, F, C] ("bpfc") with
+    C = heads * head_dim; attention is over F independently per
+    (pixel, head). Returns the same layout it was given. The bpfc layout
+    lets the Pallas path fold (frame, head) with a FREE reshape (rows
+    f*H + h, mask x%H == y%H) instead of a per-call transpose pass.
+    Measured caveat: switching UNet3D's temporal transformer pixel-major
+    to exploit this REGRESSED the full step 301.7 -> 307.6 ms — XLA fuses
+    the per-call folds into the projection epilogues better than it
+    handles the module-level transposes — so bfpc remains the UNet3D
+    default and bpfc serves callers already holding pixel-major data.
     """
-    B, F, P, C = q.shape
+    if layout == "bpfc":
+        B, P, F, C = q.shape
+    else:
+        B, F, P, C = q.shape
     H = heads
     D = C // H
     if scale is None:
@@ -143,7 +178,15 @@ def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         use_pallas = (jax.default_backend() == "tpu" and H * F >= 64
                       and H * F <= 1024 and P >= 32 and C % H == 0)
     if use_pallas:
-        return _tattn_pallas(q, k, v, H, float(scale))
+        return _tattn_pallas(q, k, v, H, layout == "bpfc", float(scale))
+    if layout == "bpfc":
+        # Reference/einsum paths are written frame-major; round-trip the
+        # layout (CPU tests and rare TPU fallbacks only).
+        out = temporal_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), heads, scale=scale,
+            use_blockdiag=use_blockdiag, use_pallas=False)
+        return out.transpose(0, 2, 1, 3)
     if use_blockdiag is None:
         # Measured VERDICT (tools/ab_temporal.py + full-pipeline A/B on
         # chip): ISOLATED the fold wins 3.1 ms vs 5.7 ms — but inside the
