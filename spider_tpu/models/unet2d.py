@@ -182,16 +182,24 @@ def _attention(q, k, v, heads: int):
 LSE_FLASH_BYTES = 512 * 1024 * 1024
 
 
-def _attention_lse(q, k, v, heads: int):
+def _attention_lse(q, k, v, heads: int, force_flash: bool = False,
+                   block_q: int = 512, block_k: int = 512):
     """_attention that also returns the per-row logsumexp (fp32, [B,heads,T])
     so two partial attentions over disjoint key sets can be merged exactly
-    (the story-coupling path: self keys + a group-shared reference bank)."""
+    (the story-coupling path: self keys + a group-shared reference bank).
+
+    force_flash (TPU only) routes through the Pallas kernel regardless of
+    the logits-bytes heuristic, with caller-chosen block sizes — the story
+    bank call uses block_k = the whole (padded) bank so the group-shared
+    K/V streams into VMEM once per q-block instead of being re-fetched per
+    256-wide kv block (the default-block A/B that lost; see STORY_BANK_FLASH)."""
     B, T, C = q.shape
     S = k.shape[1]
     D = C // heads
     logits_bytes = 4 * B * heads * T * S
     use_flash = (jax.default_backend() == "tpu" and D <= 128
-                 and (T >= 4096
+                 and (force_flash
+                      or T >= 4096
                       or (D >= 64 and logits_bytes > LSE_FLASH_BYTES)))
     if use_flash:
         from spider_tpu.ops.attention import flash_attention_with_lse
@@ -199,8 +207,9 @@ def _attention_lse(q, k, v, heads: int):
         qh = q.reshape(B, T, heads, D)
         kh = k.reshape(B, S, heads, D)
         vh = v.reshape(B, S, heads, D)
-        if D < 128:
-            pad = [(0, 0)] * 3 + [(0, 128 - D)]
+        Dp = -(-D // 64) * 64          # kernel needs D % 64 == 0 (64 native)
+        if Dp != D:
+            pad = [(0, 0)] * 3 + [(0, Dp - D)]
             qh = jnp.pad(qh, pad)
             kh = jnp.pad(kh, pad)
             vh = jnp.pad(vh, pad)
@@ -215,7 +224,8 @@ def _attention_lse(q, k, v, heads: int):
             kv_len = jnp.full((B,), S, jnp.int32)
         out, lse = flash_attention_with_lse(qh, kh, vh, causal=False,
                                             kv_len=kv_len,
-                                            sm_scale=1.0 / (D ** 0.5))
+                                            sm_scale=1.0 / (D ** 0.5),
+                                            block_q=block_q, block_k=block_k)
         return (out[:, :T, :, :D].reshape(B, T, C), lse[:, :, :T])
     qt = q.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
     kt = k.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
@@ -240,6 +250,25 @@ def _attention_lse(q, k, v, heads: int):
 # tools/story_ab.py): split 2.59 steps/s vs concat 1.97 — the broadcast
 # K/V copies cost more than the extra merge pass saves, so split stays.
 STORY_BANK_IMPL = "split"
+
+# How the bank side of the split runs on TPU. "auto": the LSE_FLASH_BYTES
+# heuristic (einsum at the SDXL story shapes — materializes f32 logits,
+# 425 MB/layer at up-2, 3.4 GB/layer at up-1). "fullk": force the Pallas
+# flash kernel with block_k = the WHOLE padded bank and a q-block sized to
+# a VMEM logits budget — the group-shared K/V streams once per q-block and
+# no logits touch HBM. (The round-4 A/B that rejected flash used the
+# default 256-wide kv blocks: grid degenerated to 45 blocks per (b,h) with
+# the bank re-fetched per block; full-bank blocks are the shape this
+# attention actually has.) Module-level so tools/story_ab.py can A/B.
+STORY_BANK_FLASH = "auto"
+
+
+def _bank_blocks(Tq: int, S: int):
+    """(block_q, block_k) for the full-bank flash schedule: block_k covers
+    the padded bank; block_q targets ~4 MB of f32 logits in VMEM."""
+    bk = -(-S // 256) * 256
+    bq = max(256, (4 * 2 ** 20) // (4 * bk) // 256 * 256)
+    return bq, bk
 
 
 class CrossAttention(nn.Module):
@@ -291,7 +320,14 @@ class CrossAttention(nn.Module):
                     return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
                 o_self, l_self = _attention_lse(q, k, v, self.heads)
                 qg = q.reshape(g, rows * T, Cq)
-                o_bank, l_bank = _attention_lse(qg, ek, ev, self.heads)
+                if (STORY_BANK_FLASH == "fullk"
+                        and jax.default_backend() == "tpu"):
+                    bq, bk = _bank_blocks(rows * T, ek.shape[1])
+                    o_bank, l_bank = _attention_lse(
+                        qg, ek, ev, self.heads, force_flash=True,
+                        block_q=bq, block_k=bk)
+                else:
+                    o_bank, l_bank = _attention_lse(qg, ek, ev, self.heads)
                 o_bank = o_bank.reshape(B, T, Cq)
                 l_bank = (l_bank.reshape(g, self.heads, rows, T)
                           .transpose(0, 2, 1, 3).reshape(B, self.heads, T))

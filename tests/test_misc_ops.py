@@ -124,3 +124,28 @@ def test_paged_attention_kernel_matches():
                         kv_len=kv_len)[:, 0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_upsample_nearest_conv_exact():
+    """Coarse-resolution phase-conv upsample == nearest-x2 + SAME 3x3 conv
+    (diffusers Upsample2D), incl. odd spatial sizes; param tree matches
+    nn.Conv so converted checkpoints are unaffected."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spider_tpu.ops.convs import UpsampleNearestConv
+
+    for (H, W, C, Co) in [(5, 9, 16, 12), (4, 4, 8, 8)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, H, W, C))
+        m = UpsampleNearestConv(features=Co)
+        p = m.init(jax.random.PRNGKey(1), x)
+        assert set(p["params"]) == {"kernel", "bias"}
+        assert p["params"]["kernel"].shape == (3, 3, C, Co)
+        y = m.apply(p, x)
+        up = jax.image.resize(x, (2, H * 2, W * 2, C), method="nearest")
+        ref = nn.Conv(Co, (3, 3), padding=1).apply(
+            {"params": p["params"]}, up)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

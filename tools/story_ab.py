@@ -47,16 +47,26 @@ prompts = ["in a forest", "by a river", "at night", "coming home"]
 
 def run(n_steps, seed=1):
     t0 = time.perf_counter()
-    story_generation(pipe, general_prompt="a fox explorer",
-                     prompt_array=prompts, style_name="Comic book",
-                     id_length=4, num_inference_steps=n_steps, seed=seed)
-    return time.perf_counter() - t0
+    imgs = story_generation(pipe, general_prompt="a fox explorer",
+                            prompt_array=prompts, style_name="Comic book",
+                            id_length=4, num_inference_steps=n_steps,
+                            seed=seed)
+    return time.perf_counter() - t0, np.stack(imgs)
 
 N = 30
-for impl in ["split", "concat"]:
-    u2.STORY_BANK_IMPL = impl
+outs = {}
+import sys
+variants = sys.argv[1:] or ["split", "split_fullk", "concat"]
+for name in variants:
+    u2.STORY_BANK_IMPL = "split" if name.startswith("split") else name
+    u2.STORY_BANK_FLASH = "fullk" if name.endswith("fullk") else "auto"
     pipe._denoise_cache.clear()
-    t_compile = run(N)                      # compile + first run
-    dt = run(N)
-    print(f"{impl}: {N/dt:.2f} steps/s  ({dt:.1f}s for {N} steps; first-call {t_compile:.0f}s)", flush=True)
-u2.STORY_BANK_IMPL = "split"
+    t_compile, _ = run(N)                   # compile + first run
+    dt, outs[name] = run(N)
+    print(f"{name}: {N/dt:.2f} steps/s  ({dt:.1f}s for {N} steps; "
+          f"first-call {t_compile:.0f}s)", flush=True)
+    if "split" in outs and name != "split":
+        d = float(np.abs(outs[name].astype(np.float32)
+                         - outs["split"].astype(np.float32)).max())
+        print(f"  max|{name} - split| = {d:.3e}", flush=True)
+u2.STORY_BANK_IMPL, u2.STORY_BANK_FLASH = "split", "auto"
