@@ -256,11 +256,13 @@ STORY_BANK_IMPL = "split"
 # 425 MB/layer at up-2, 3.4 GB/layer at up-1). "fullk": force the Pallas
 # flash kernel with block_k = the WHOLE padded bank and a q-block sized to
 # a VMEM logits budget — the group-shared K/V streams once per q-block and
-# no logits touch HBM. (The round-4 A/B that rejected flash used the
+# no logits touch HBM. (The earlier A/B that rejected flash used the
 # default 256-wide kv blocks: grid degenerated to 45 blocks per (b,h) with
 # the bank re-fetched per block; full-bank blocks are the shape this
-# attention actually has.) Module-level so tools/story_ab.py can A/B.
-STORY_BANK_FLASH = "auto"
+# attention actually has.) Measured at the story operating point
+# (tools/story_ab.py, 2 runs): fullk 2.77/2.76 steps/s vs auto-einsum
+# 2.59/2.62 — fullk is the default on TPU. Module-level for A/B.
+STORY_BANK_FLASH = "fullk"
 
 
 def _bank_blocks(Tq: int, S: int):

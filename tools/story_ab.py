@@ -69,4 +69,4 @@ for name in variants:
         d = float(np.abs(outs[name].astype(np.float32)
                          - outs["split"].astype(np.float32)).max())
         print(f"  max|{name} - split| = {d:.3e}", flush=True)
-u2.STORY_BANK_IMPL, u2.STORY_BANK_FLASH = "split", "auto"
+u2.STORY_BANK_IMPL, u2.STORY_BANK_FLASH = "split", "fullk"
