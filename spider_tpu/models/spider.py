@@ -143,6 +143,15 @@ class Spider:
       box_decoder: callable or None (Grounding DINO inference)
     """
 
+    @classmethod
+    def from_config(cls, model_config: Dict[str, Any]) -> "Spider":
+        """Config blob -> Spider, the registry-dispatch construction path
+        (reference: registry.get_model_class("spider")(**cfg.model),
+        base_task.py:38-40; ours goes through the checkpoint factory)."""
+        from spider_tpu.models.factory import build_spider_from_config
+
+        return build_spider_from_config(dict(model_config))
+
     def __init__(self, *, llm_model: LlamaForCausalLM, llm_params,
                  tokenizer,
                  name: str = "spider",

@@ -26,12 +26,10 @@ class BaseTask:
     def build_model(self, cfg):
         model_config = dict(cfg.model)
         model_type = model_config.pop("type")
-        if model_type == "spider":
-            from spider_tpu.models.factory import build_spider_from_config
-
-            return build_spider_from_config(model_config)
         model_cls = registry.get_model_class(model_type)
         assert model_cls is not None, f"unknown model {model_type}"
+        if hasattr(model_cls, "from_config"):
+            return model_cls.from_config(model_config)
         return model_cls(**model_config)
 
     def build_datasets(self, cfg) -> Dict[str, Dict[str, Any]]:

@@ -13,8 +13,9 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from spider_tpu.common.cache import setup_compilation_cache
+
+setup_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

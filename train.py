@@ -25,7 +25,6 @@ def setup_seeds(cfg) -> None:
 
 def main() -> None:
     register_all()
-    import spider_tpu.runners.runner  # noqa: F401 — registers runner_base
     from spider_tpu import tasks
 
     job_id = now()
