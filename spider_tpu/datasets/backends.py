@@ -18,6 +18,12 @@ import numpy as np
 
 
 def _decode_member(name: str, data: bytes):
+    """Shard member bytes -> usable value (the wds `decode` stage). Video
+    members become [T,H,W,3] uint8 frame arrays, audio members become
+    (waveform float32, sample_rate) — replacing the reference's
+    decord/torchaudio decode (data_utils.py:11,21, t2a_audiocap.py)."""
+    from spider_tpu.datasets import media
+
     ext = name.rsplit(".", 1)[-1].lower()
     if ext in ("jpg", "jpeg", "png", "webp"):
         try:
@@ -32,7 +38,11 @@ def _decode_member(name: str, data: bytes):
         return json.loads(data)
     if ext in ("npy",):
         return np.load(io.BytesIO(data))
-    return data  # raw bytes (mp4/flac/... decoded downstream)
+    if ext in media.VIDEO_EXTS:
+        return media.decode_video_bytes(data, suffix=f".{ext}")
+    if ext in media.AUDIO_EXTS:
+        return media.decode_audio_bytes(data)
+    return data  # raw bytes, decoded downstream if at all
 
 
 class TarShardSource:
@@ -67,7 +77,20 @@ class TarShardSource:
                 data = tf.extractfile(member).read()
                 decoded = _decode_member(base, data)
                 if decoded is not None:
-                    sample[ext.lower()] = decoded
+                    if isinstance(decoded, tuple):  # audio: (wave, rate)
+                        decoded, sample["sample_rate"] = decoded
+                    field = ext.lower()
+                    # pre-decoded shards (tools/reshard_predecoded.py) store
+                    # 'key.mp4.npy' / 'key.flac.npy' — expose them under the
+                    # same field name as the original container
+                    if field.endswith(".npy"):
+                        field = field[:-4]
+                    if field == "sample_rate":
+                        if isinstance(decoded, (bytes, bytearray)):
+                            decoded = decoded.decode()
+                        sample["sample_rate"] = int(float(decoded))
+                        continue
+                    sample[field] = decoded
                     sample["__key__"] = key
             if sample:
                 yield sample

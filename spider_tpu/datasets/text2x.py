@@ -72,14 +72,26 @@ def _prep_modality(raw: Dict, modality: str, build_info: Dict):
         return image_to_imagebind(raw["jpg"],
                                   size=build_info.get("image_size", 224))
     if modality == "VIDEO":
-        vid = raw["mp4"]
-        if isinstance(vid, (bytes, bytearray)):
-            return None  # undecodable offline
+        vid = raw["mp4"] if "mp4" in raw else raw["video"]
+        if isinstance(vid, (bytes, bytearray)):  # source-level decode missed
+            from spider_tpu.datasets.media import decode_video_bytes
+
+            vid = decode_video_bytes(bytes(vid))
+            if vid is None:
+                return None
         return video_to_clips(np.asarray(vid),
                               num_clips=build_info.get("num_clips", 5),
                               size=build_info.get("image_size", 224))
     if modality == "AUDIO":
-        return audio_to_clips(raw["flac"],
+        wav = raw["flac"] if "flac" in raw else raw["wav"]
+        if isinstance(wav, (bytes, bytearray)):
+            from spider_tpu.datasets.media import decode_audio_bytes
+
+            decoded = decode_audio_bytes(bytes(wav))
+            if decoded is None:
+                return None
+            wav, raw = decoded[0], {**raw, "sample_rate": decoded[1]}
+        return audio_to_clips(wav,
                               sample_rate=raw.get("sample_rate", 16000),
                               num_mels=build_info.get("num_mels", 128),
                               target_length=build_info.get("target_length", 204))
