@@ -64,7 +64,21 @@ class ReferDataset(MapSampleDataset):
         self.ts = ts
         self.build_info = build_info
         self.rng = random.Random(seed)
-        if build_info.get("ann_path") and os.path.exists(build_info["ann_path"]):
+        if build_info.get("refer_root") and \
+                os.path.isdir(build_info["refer_root"]):
+            # real REFER pickle corpus (refs(unc).p + instances.json;
+            # reference refer.py:16-63)
+            from spider_tpu.datasets.refer import (ReferCorpus,
+                                                   ReferRecordSource)
+
+            corpus = ReferCorpus(build_info["refer_root"],
+                                 build_info.get("image_path", ""),
+                                 dataset=build_info.get("dataset", "refcoco"),
+                                 split_by=build_info.get("split_by", "unc"))
+            source = ReferRecordSource(corpus,
+                                       split=build_info.get("split", "train"),
+                                       limit=build_info.get("num_samples"))
+        elif build_info.get("ann_path") and os.path.exists(build_info["ann_path"]):
             with open(build_info["ann_path"]) as f:
                 anns = json.load(f)
             source = _RealRefer(anns, build_info.get("image_path", ""))

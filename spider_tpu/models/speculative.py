@@ -116,7 +116,9 @@ def speculative_generate(model: LlamaForCausalLM, params,
 
 def speculative_generate_ondevice(model: LlamaForCausalLM, params,
                                   input_ids: Sequence[int],
-                                  cfg: PromptLookupConfig) -> List[int]:
+                                  cfg: PromptLookupConfig,
+                                  oracle: Optional[Sequence[int]] = None,
+                                  corrupt_every: int = 0) -> List[int]:
     """speculative_generate with the ENTIRE propose+verify+commit loop as a
     single jitted ``lax.while_loop`` — two dispatches total (prefill +
     decode) instead of one verify dispatch per window. On hosts where the
@@ -125,6 +127,15 @@ def speculative_generate_ondevice(model: LlamaForCausalLM, params,
     LOSES to plain decode; this form removes the dispatch bound entirely.
     Committed stream is byte-identical to speculative_generate (same greedy
     verification; tests/test_llama.py asserts equality vs stepped greedy).
+
+    oracle/corrupt_every: benchmarking instrument for the tok/s-vs-acceptance
+    curve. When `oracle` (a token stream, e.g. a previous greedy output of
+    the same prompt) is given, drafts come from it instead of the n-gram
+    table; `corrupt_every=k` flips every k-th oracle token so acceptance is
+    dialed between ~100% (k=0) and ~1/window. Verification is unchanged, so
+    the COMMITTED stream is the model's true greedy output for any draft
+    source — only the latency moves. bench_suite.bench_speculative_decode
+    uses this to report the honest rate curve without real checkpoints.
     """
     ids = [int(t) for t in input_ids]
     T = len(ids)
@@ -170,6 +181,18 @@ def speculative_generate_ondevice(model: LlamaForCausalLM, params,
             draft = jnp.where(f, d, draft)        # longest k wins last
         return draft
 
+    use_oracle = oracle is not None
+    if use_oracle:
+        orc = jnp.full((MAXLEN,), pad_id, jnp.int32)
+        orc = orc.at[:min(len(oracle), MAXLEN)].set(
+            jnp.asarray(list(oracle)[:MAXLEN], jnp.int32))
+        if corrupt_every:
+            idx = jnp.arange(MAXLEN, dtype=jnp.int32)
+            orc = jnp.where(idx % corrupt_every == corrupt_every - 1,
+                            orc + 1, orc)
+    else:
+        orc = None
+
     @jax.jit
     def decode(params, cache, buf, cur):
         def cond(state):
@@ -180,7 +203,12 @@ def speculative_generate_ondevice(model: LlamaForCausalLM, params,
             buf, out_len, cur, cache, done = state
             L = T + out_len
             kv_len = T + out_len - 1              # cur's KV still pending
-            draft = propose_dev(buf, L)
+            if use_oracle:
+                # out_len tokens are committed; the draft continues the
+                # oracle stream AFTER the already-committed position.
+                draft = jax.lax.dynamic_slice(orc, (out_len,), (G - 1,))
+            else:
+                draft = propose_dev(buf, L)
             window = jnp.concatenate([cur[None], draft])[None]     # [1, G]
             emb = model.apply(params, window, method=model.embed)
             positions = kv_len + jnp.arange(G, dtype=jnp.int32)[None]

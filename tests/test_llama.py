@@ -281,3 +281,23 @@ def test_speculative_ondevice_matches_host_loop():
         host = speculative_generate(model, params, ids, pc)
         dev = speculative_generate_ondevice(model, params, ids, pc)
         assert dev == host, (gamma, dev, host)
+
+
+def test_speculative_draft_source_never_changes_stream():
+    """Verification is exact greedy, so ANY draft source (n-gram table,
+    oracle, corrupted oracle, garbage) must commit the identical stream —
+    the invariant that lets bench_suite measure the tok/s-vs-acceptance
+    curve honestly."""
+    from spider_tpu.models.speculative import (PromptLookupConfig,
+                                               speculative_generate_ondevice)
+
+    cfg = L.llama_tiny(vocab_size=64)
+    model = L.LlamaForCausalLM(cfg)
+    ids = [3, 9, 4, 7, 3, 9, 4, 7, 3, 9]
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray([ids], jnp.int32))
+    pc = PromptLookupConfig(max_new_tokens=20, gamma=4, eos_ids=(63,))
+    ref = speculative_generate_ondevice(model, params, ids, pc)
+    for kw in (dict(oracle=ref), dict(oracle=ref, corrupt_every=2),
+               dict(oracle=[0] * 20), dict(oracle=list(range(20)))):
+        got = speculative_generate_ondevice(model, params, ids, pc, **kw)
+        assert got == ref, (kw, got, ref)
