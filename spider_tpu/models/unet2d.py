@@ -12,7 +12,9 @@ argument instead of a swapped-in attention-processor class.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+from contextvars import ContextVar
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -249,7 +251,9 @@ def _attention_lse(q, k, v, heads: int, force_flash: bool = False,
 # Measured at the story operating point (SDXL 768px, 4 coupled frames, CFG,
 # tools/story_ab.py): split 2.59 steps/s vs concat 1.97 — the broadcast
 # K/V copies cost more than the extra merge pass saves, so split stays.
-STORY_BANK_IMPL = "split"
+# ContextVars (not mutable globals): a failing A/B can't leak its ablation
+# mode into real runs, and concurrent pipelines stay isolated.
+_STORY_BANK_IMPL = ContextVar("story_bank_impl", default="split")
 
 # How the bank side of the split runs on TPU. "auto": the LSE_FLASH_BYTES
 # heuristic (einsum at the SDXL story shapes — materializes f32 logits,
@@ -261,16 +265,35 @@ STORY_BANK_IMPL = "split"
 # the bank re-fetched per block; full-bank blocks are the shape this
 # attention actually has.) Measured at the story operating point
 # (tools/story_ab.py, 2 runs): fullk 2.77/2.76 steps/s vs auto-einsum
-# 2.59/2.62 — fullk is the default on TPU. Module-level for A/B.
-STORY_BANK_FLASH = "fullk"
+# 2.59/2.62 — fullk is the default on TPU.
+_STORY_BANK_FLASH = ContextVar("story_bank_flash", default="fullk")
+
+
+@contextlib.contextmanager
+def story_bank_config(impl: Optional[str] = None,
+                      flash: Optional[str] = None):
+    """Scoped override of the story bank-attention implementation
+    (impl: split|concat|self_only; flash: fullk|auto) — the A/B hook for
+    tools/story_ab.py and tests."""
+    tokens = []
+    if impl is not None:
+        tokens.append((_STORY_BANK_IMPL, _STORY_BANK_IMPL.set(impl)))
+    if flash is not None:
+        tokens.append((_STORY_BANK_FLASH, _STORY_BANK_FLASH.set(flash)))
+    try:
+        yield
+    finally:
+        for var, tok in tokens:
+            var.reset(tok)
 
 
 def _bank_blocks(Tq: int, S: int):
     """(block_q, block_k) for the full-bank flash schedule: block_k covers
-    the padded bank; block_q targets ~4 MB of f32 logits in VMEM."""
+    the padded bank; block_q targets ~4 MB of f32 logits in VMEM, clamped
+    to the (padded) query run so short runs don't over-allocate."""
     bk = -(-S // 256) * 256
     bq = max(256, (4 * 2 ** 20) // (4 * bk) // 256 * 256)
-    return bq, bk
+    return min(bq, max(256, -(-Tq // 256) * 256)), bk
 
 
 class CrossAttention(nn.Module):
@@ -305,12 +328,12 @@ class CrossAttention(nn.Module):
                 B, T, Cq = q.shape
                 rows = B // g
                 D = Cq // self.heads
-                if STORY_BANK_IMPL == "self_only":
+                if _STORY_BANK_IMPL.get() == "self_only":
                     # Ablation only (tools/story_ab.py): drop the bank —
                     # measures the coupling plumbing without its math.
                     out = _attention(q, k, v, self.heads)
                     return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
-                if STORY_BANK_IMPL == "concat":
+                if _STORY_BANK_IMPL.get() == "concat":
                     K = ek.shape[1]
                     ekb = jnp.broadcast_to(ek[:, None], (g, rows, K, Cq)) \
                         .reshape(B, K, Cq)
@@ -322,7 +345,7 @@ class CrossAttention(nn.Module):
                     return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
                 o_self, l_self = _attention_lse(q, k, v, self.heads)
                 qg = q.reshape(g, rows * T, Cq)
-                if (STORY_BANK_FLASH == "fullk"
+                if (_STORY_BANK_FLASH.get() == "fullk"
                         and jax.default_backend() == "tpu"):
                     bq, bk = _bank_blocks(rows * T, ek.shape[1])
                     o_bank, l_bank = _attention_lse(

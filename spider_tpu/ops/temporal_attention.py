@@ -174,9 +174,13 @@ def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         scale = 1.0 / (D ** 0.5)
     if use_pallas is None:
         # The Pallas path wants a full-ish MXU tile per pixel (H*F >= 64)
-        # and pays off when P is large enough to amortize the grid.
+        # and pays off when P is large enough to amortize the grid. The fold
+        # dims must also satisfy Mosaic tiling ((H*F) and D aligned to the
+        # 8-sublane grid) — unusual shapes fall back to XLA instead of
+        # failing to compile.
         use_pallas = (jax.default_backend() == "tpu" and H * F >= 64
-                      and H * F <= 1024 and P >= 32 and C % H == 0)
+                      and H * F <= 1024 and P >= 32 and C % H == 0
+                      and (H * F) % 8 == 0 and (C // H) % 8 == 0)
     if use_pallas:
         return _tattn_pallas(q, k, v, H, layout == "bpfc", float(scale))
     if layout == "bpfc":

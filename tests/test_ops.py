@@ -59,8 +59,12 @@ def test_llama3_rope_scaling_changes_low_freqs():
 
 @pytest.mark.parametrize("causal", [True, False])
 @pytest.mark.parametrize("group", [1, 4])
-def test_flash_kernel_interpret_matches_reference(causal, group):
-    B, T, Hkv, D = 2, 256, 2, 128
+@pytest.mark.parametrize("D", [64, 128])
+def test_flash_kernel_interpret_matches_reference(causal, group, D):
+    # D=64 pins the kernel numerics for the native 64-lane path that
+    # ring_attention and SDXL attention take on TPU (ADVICE r4 #1: the
+    # D%64 gate silently switched those callers onto the kernel).
+    B, T, Hkv = 2, 256, 2
     Hq = Hkv * group
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
@@ -209,6 +213,29 @@ def test_flash_with_lse_matches_reference_and_grad():
     for a, b in zip(gg, gw):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_flash_with_lse_interpret_d64_forward():
+    """D=64 lse-path kernel parity (interpret): ring_attention's blocks run
+    the Pallas kernel natively at D=64 on TPU (ADVICE r4 #1)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spider_tpu.ops.attention import (flash_attention_with_lse,
+                                          mha_reference_with_lse)
+
+    B, T, H, D = 1, 128, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    want_o, want_lse = mha_reference_with_lse(q, k, v, causal=True)
+    with pltpu.force_tpu_interpret_mode():
+        got_o, got_lse = flash_attention_with_lse(q, k, v, causal=True,
+                                                  use_pallas=True,
+                                                  block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_flash_with_lse_dynamic_q_offset_negative():

@@ -95,12 +95,10 @@ def test_group_bank_lse_merge_matches_concat():
     np.testing.assert_allclose(np.asarray(merged), np.asarray(naive),
                                atol=1e-5, rtol=1e-5)
 
-    # The selectable concat implementation (STORY_BANK_IMPL) must match too.
-    from spider_tpu.models import unet2d as u2
-    try:
-        u2.STORY_BANK_IMPL = "concat"
+    # The selectable concat implementation must match too (scoped via
+    # story_bank_config so a failure can't leak the ablation mode).
+    from spider_tpu.models.unet2d import story_bank_config
+    with story_bank_config(impl="concat"):
         cat = mod.apply(params, x, None, bank)
-    finally:
-        u2.STORY_BANK_IMPL = "split"
     np.testing.assert_allclose(np.asarray(cat), np.asarray(naive),
                                atol=1e-5, rtol=1e-5)

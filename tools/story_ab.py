@@ -58,15 +58,15 @@ outs = {}
 import sys
 variants = sys.argv[1:] or ["split", "split_fullk", "concat"]
 for name in variants:
-    u2.STORY_BANK_IMPL = "split" if name.startswith("split") else name
-    u2.STORY_BANK_FLASH = "fullk" if name.endswith("fullk") else "auto"
-    pipe._denoise_cache.clear()
-    t_compile, _ = run(N)                   # compile + first run
-    dt, outs[name] = run(N)
+    with u2.story_bank_config(
+            impl="split" if name.startswith("split") else name,
+            flash="fullk" if name.endswith("fullk") else "auto"):
+        pipe._denoise_cache.clear()
+        t_compile, _ = run(N)               # compile + first run
+        dt, outs[name] = run(N)
     print(f"{name}: {N/dt:.2f} steps/s  ({dt:.1f}s for {N} steps; "
           f"first-call {t_compile:.0f}s)", flush=True)
     if "split" in outs and name != "split":
         d = float(np.abs(outs[name].astype(np.float32)
                          - outs["split"].astype(np.float32)).max())
         print(f"  max|{name} - split| = {d:.3e}", flush=True)
-u2.STORY_BANK_IMPL, u2.STORY_BANK_FLASH = "split", "fullk"
