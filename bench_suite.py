@@ -8,6 +8,7 @@ remains the driver-facing single-line benchmark.
 
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -449,6 +450,56 @@ def bench_speculative_decode(prompt_len: int = 128, new_tokens: int = 128):
                      "near-tie argmax may flip in bf16 chunked forwards")
 
 
+def bench_dataloader(samples_per_shard: int = 500, n_shards: int = 4,
+                     image_px: int = 96):
+    """Tar-shard ingest throughput, pure-Python walk vs the native C++
+    threaded reader (native/tarreader.cpp) — both through the same decode
+    path (JPEG via PIL). CPU-only; no chip needed."""
+    import io
+    import tarfile
+    import tempfile
+
+    from PIL import Image
+
+    from spider_tpu.datasets.backends import TarShardSource
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="spider_dlbench_")
+    for s in range(n_shards):
+        with tarfile.open(os.path.join(tmp, f"shard-{s:03d}.tar"), "w") as tf:
+            for i in range(samples_per_shard):
+                img = Image.fromarray(
+                    rng.integers(0, 255, (image_px, image_px, 3), np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, "JPEG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{s}_{i:05d}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = f"caption {i}".encode()
+                info = tarfile.TarInfo(f"{s}_{i:05d}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+
+    rates = {}
+    for mode in ("never", "auto"):
+        src = TarShardSource(os.path.join(tmp, "*.tar"), shuffle_buffer=16,
+                             resample=False, native=mode)
+        engaged = src._native_reader(src.shards) is not None
+        t0 = time.perf_counter()
+        n = sum(1 for _ in src)
+        rates["native" if engaged else "python"] = round(
+            n / (time.perf_counter() - t0), 1)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dict(metric="tar-shard dataloader throughput samples/s "
+                       "(JPEG decode, python walk vs native C++ reader)",
+                value=rates.get("native", 0.0), unit="samples/s",
+                python_samples_s=rates.get("python", 0.0),
+                native_samples_s=rates.get("native", 0.0))
+
+
 def bench_detection():
     """Grounding DINO swin-T forward + SAM ViT-H box-prompted mask — the
     BASELINE det/seg operating points (spider_decoder.py:266, build_sam.py:15).
@@ -613,6 +664,8 @@ def main():
         results.append(bench_paged_serving())
     if which in ("speculative",):
         results.append(bench_speculative_decode())
+    if which in ("dataloader",):
+        results.append(bench_dataloader())
 
     # merge-by-metric into bench_details.json (never truncate: rows from
     # other modes are the perf record the docs cite)

@@ -45,6 +45,24 @@ def _decode_member(name: str, data: bytes):
     return data  # raw bytes, decoded downstream if at all
 
 
+def _store_member(sample: Dict[str, Any], key: str, ext: str, decoded) -> None:
+    """Normalize a decoded member into the sample dict: audio tuples carry
+    their rate, pre-decoded '<container>.npy' members (tools/
+    reshard_predecoded.py) expose the original field name."""
+    if isinstance(decoded, tuple):  # audio: (wave, rate)
+        decoded, sample["sample_rate"] = decoded
+    field = ext.lower()
+    if field.endswith(".npy"):
+        field = field[:-4]
+    if field == "sample_rate":
+        if isinstance(decoded, (bytes, bytearray)):
+            decoded = decoded.decode()
+        sample["sample_rate"] = int(float(decoded))
+        return
+    sample[field] = decoded
+    sample["__key__"] = key
+
+
 class TarShardSource:
     """webdataset-style reader: tar shards of `key.ext` members grouped by
     key. Resampled (infinite) iteration with a shuffle buffer — the
@@ -52,7 +70,8 @@ class TarShardSource:
     (cf. t2i_ts_cc_sbu.py:13-21) without the webdataset dependency."""
 
     def __init__(self, pattern: str, shuffle_buffer: int = 1000,
-                 seed: int = 0, resample: bool = True):
+                 seed: int = 0, resample: bool = True,
+                 native: str = "auto"):
         self.shards = sorted(glob.glob(pattern)) if isinstance(pattern, str) \
             else list(pattern)
         if not self.shards:
@@ -60,6 +79,46 @@ class TarShardSource:
         self.shuffle_buffer = shuffle_buffer
         self.seed = seed
         self.resample = resample
+        # native='auto': the C++ threaded reader (native/tarreader.cpp) runs
+        # the tar walk + byte prefetch off the GIL when its .so builds;
+        # 'never' forces pure Python (and SPIDER_NATIVE_TAR=0 disables
+        # globally). Shuffle-buffer/decode semantics are identical — only
+        # the shard-interleave order differs (native threads interleave).
+        self.native = native
+        if os.environ.get("SPIDER_NATIVE_TAR", "1") == "0":
+            self.native = "never"
+
+    def _native_reader(self, shards: List[str]):
+        """Best-effort native byte source; None if the .so can't build."""
+        if self.native == "never":
+            return None
+        try:
+            from spider_tpu.datasets.native_loader import NativeTarSource
+
+            return NativeTarSource(shards, decode=False)
+        except Exception:
+            if self.native == "always":
+                raise
+            return None
+
+    def _iter_all_shards(self, shards: List[str]) -> Iterator[Dict[str, Any]]:
+        native = self._native_reader(shards)
+        if native is not None:
+            for raw in native:
+                sample: Dict[str, Any] = {}
+                key = raw.pop("__key__", "")
+                for ext, data in raw.items():
+                    decoded = _decode_member(f"{key}.{ext}", data)
+                    if decoded is not None:
+                        _store_member(sample, key, ext, decoded)
+                if sample:
+                    yield sample
+            return
+        for shard in shards:
+            try:
+                yield from self._iter_shard(shard)
+            except (tarfile.TarError, OSError):
+                continue  # warn_and_continue semantics
 
     def _iter_shard(self, path: str) -> Iterator[Dict[str, Any]]:
         with tarfile.open(path) as tf:
@@ -77,21 +136,7 @@ class TarShardSource:
                 data = tf.extractfile(member).read()
                 decoded = _decode_member(base, data)
                 if decoded is not None:
-                    if isinstance(decoded, tuple):  # audio: (wave, rate)
-                        decoded, sample["sample_rate"] = decoded
-                    field = ext.lower()
-                    # pre-decoded shards (tools/reshard_predecoded.py) store
-                    # 'key.mp4.npy' / 'key.flac.npy' — expose them under the
-                    # same field name as the original container
-                    if field.endswith(".npy"):
-                        field = field[:-4]
-                    if field == "sample_rate":
-                        if isinstance(decoded, (bytes, bytearray)):
-                            decoded = decoded.decode()
-                        sample["sample_rate"] = int(float(decoded))
-                        continue
-                    sample[field] = decoded
-                    sample["__key__"] = key
+                    _store_member(sample, key, ext, decoded)
             if sample:
                 yield sample
 
@@ -102,16 +147,12 @@ class TarShardSource:
         while True:
             shards = list(self.shards)
             rng.shuffle(shards)
-            for shard in shards:
-                try:
-                    for sample in self._iter_shard(shard):
-                        buffer.append(sample)
-                        if len(buffer) >= self.shuffle_buffer:
-                            idx = rng.randrange(len(buffer))
-                            buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
-                            yield buffer.pop()
-                except (tarfile.TarError, OSError):
-                    continue  # warn_and_continue semantics
+            for sample in self._iter_all_shards(shards):
+                buffer.append(sample)
+                if len(buffer) >= self.shuffle_buffer:
+                    idx = rng.randrange(len(buffer))
+                    buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+                    yield buffer.pop()
             epoch += 1
             if not self.resample:
                 break
