@@ -260,6 +260,70 @@ def check_omni(omni_path, record):
     return ok
 
 
+def check_omni_speech(omni_path, spk_path, record):
+    """Full thinker -> talker -> token2wav chain on converted weights — the
+    reference's one-call text+speech generate
+    (qwen2.5omni_spider_web.py:468, streamed out at :591-600). Catches a
+    conversion break anywhere in the 3-model chain that the per-model key
+    manifests can't see (e.g. a talker conditioning-stream convention flip
+    that still produces valid-looking codec tokens)."""
+    from spider_tpu.models.omni_speech import build_full_omni_speech
+
+    _require(omni_path, "Qwen2.5-Omni-7B")
+    _require(spk_path, "spk_dict.pt speaker dictionary")
+    pipe = build_full_omni_speech(omni_path, spk_path)
+    speaker = sorted(pipe.speakers)[0] if pipe.speakers else None
+    prompt = "Please greet the listener in one short sentence."
+    import jax
+
+    text, wav = pipe.chat_with_speech(prompt, speaker=speaker,
+                                      rng=jax.random.PRNGKey(7))
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    dur_s = wav.size / 24000.0          # BigVGAN output rate
+    rms = float(np.sqrt(np.mean(wav ** 2))) if wav.size else 0.0
+    peak = float(np.abs(wav).max()) if wav.size else 0.0
+    print(f"  speaker={speaker!r} reply={text!r}")
+    print(f"  wave: {wav.size} samples ({dur_s:.2f}s @24kHz) "
+          f"rms={rms:.4f} peak={peak:.3f}")
+    ok = True
+    if not text.strip():
+        ok = _fail("empty text reply")
+    if not np.all(np.isfinite(wav)):
+        ok = _fail("non-finite samples in waveform")
+    if dur_s < 0.2:
+        ok = _fail(f"waveform too short ({dur_s:.2f}s) — talker stopped "
+                   "immediately or token2wav dropped the tokens")
+    if rms < 1e-4:
+        ok = _fail("waveform is silence — DiT/BigVGAN conversion failure")
+    if rms > 0.9 or peak > 4.0:
+        ok = _fail("waveform is full-scale noise — mel/codec convention "
+                   "mismatch")
+    out = os.path.join(GOLDEN_DIR, "omni_speech_greeting.wav")
+    try:
+        from spider_tpu.datasets.media import encode_wav_bytes
+
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(out, "wb") as f:
+            f.write(encode_wav_bytes(np.clip(wav, -1, 1), 24000))
+        print(f"  audio saved for listening -> {out}")
+    except Exception as e:  # noqa: BLE001
+        print(f"  (could not save wav: {e})")
+    golden = _load_golden("omni_speech_greeting")
+    cur = {"text": text, "n_samples": int(wav.size),
+           "rms": round(rms, 4), "peak": round(peak, 4)}
+    if golden is not None:
+        if abs(cur["n_samples"] - golden["n_samples"]) \
+                > 0.25 * max(golden["n_samples"], 1):
+            ok = _fail("speech length drifted >25% from golden at fixed "
+                       "seed/prompt")
+        if golden["rms"] > 0 and not (0.5 <= rms / golden["rms"] <= 2.0):
+            ok = _fail(f"rms {rms:.4f} vs golden {golden['rms']:.4f} — "
+                       "loudness drifted >2x")
+    elif record and ok:
+        _save_golden("omni_speech_greeting", cur)
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true",
@@ -269,6 +333,8 @@ def main():
     ap.add_argument("--sam", default=None)
     ap.add_argument("--sd15", default=None)
     ap.add_argument("--omni", default=None)
+    ap.add_argument("--spk", default=None,
+                    help="spk_dict.pt (enables the omni_speech e2e check)")
     args = ap.parse_args()
 
     if not any((args.dino, args.sam, args.sd15, args.omni)):
@@ -299,6 +365,9 @@ def main():
     if args.omni:
         print("[omni_thinker] greedy continuation on converted weights")
         failed |= not check_omni(args.omni, args.record)
+    if args.omni and args.spk:
+        print("[omni_speech] thinker -> talker -> token2wav e2e")
+        failed |= not check_omni_speech(args.omni, args.spk, args.record)
     print("RESULT:", "FAIL" if failed else "OK")
     sys.exit(1 if failed else 0)
 
