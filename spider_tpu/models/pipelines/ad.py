@@ -185,15 +185,15 @@ def build_full_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
-    cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
 
     def to_dev_bf16(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                np.asarray(x, np.float32).astype(jnp.bfloat16)
-                if np.asarray(x).dtype == np.float32 else np.asarray(x), dev),
-            tree)
+        def leaf(x):
+            if isinstance(x, jax.Array):      # already device-resident
+                return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+            a = np.asarray(x)
+            return a.astype(jnp.bfloat16) if a.dtype == np.float32 else a
+        return jax.device_put(jax.tree_util.tree_map(leaf, tree), dev)
 
     tcfg = dc.replace(ClapTextConfig(), dtype=jnp.bfloat16)
     text = ClapTextModel(tcfg)
@@ -210,17 +210,20 @@ def build_full_ad(tokenizer=None, rng=None) -> AudioLDMPipeline:
     hcfg = hifigan_audioldm()
     voc = HifiGan(hcfg)
     from spider_tpu.models.factory import random_params_like
-    with jax.default_device(cpu):
-        tparams = random_params_like(text, rng, jnp.zeros((1, 8), jnp.int32))
-        uparams = random_params_like(
-            unet, rng, jnp.zeros((1, 8, 8, ucfg.in_channels), jnp.bfloat16),
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 1, ucfg.cross_attention_dim), jnp.bfloat16),
-            dict(class_embeds=jnp.zeros((1, tcfg.projection_dim),
-                                        jnp.bfloat16)))
-        vparams = random_params_like(vae, rng, jnp.zeros((1, 16, 16, 1)))
-        hparams = random_params_like(voc, rng,
-                                     jnp.zeros((1, 16, hcfg.model_in_dim)))
+    bf = jnp.bfloat16   # on-device bf16 pools: zero host->device traffic
+    tparams = random_params_like(text, rng, jnp.zeros((1, 8), jnp.int32),
+                                 dtype=bf, on_device=True)
+    uparams = random_params_like(
+        unet, rng, jnp.zeros((1, 8, 8, ucfg.in_channels), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 1, ucfg.cross_attention_dim), jnp.bfloat16),
+        dict(class_embeds=jnp.zeros((1, tcfg.projection_dim),
+                                    jnp.bfloat16)), dtype=bf, on_device=True)
+    vparams = random_params_like(vae, rng, jnp.zeros((1, 16, 16, 1)),
+                                 dtype=bf, on_device=True)
+    hparams = random_params_like(voc, rng,
+                                 jnp.zeros((1, 16, hcfg.model_in_dim)),
+                                 dtype=bf, on_device=True)
     tparams, uparams, vparams, hparams = map(
         to_dev_bf16, (tparams, uparams, vparams, hparams))
     return AudioLDMPipeline(tokenizer, text, tparams, unet, uparams, vae,

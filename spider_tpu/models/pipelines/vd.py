@@ -220,15 +220,15 @@ def build_full_vd(tokenizer=None, rng=None) -> TextToVideoSDPipeline:
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     tokenizer = tokenizer or TinyTokenizer()
-    cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
 
     def to_dev_bf16(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                np.asarray(x, np.float32).astype(jnp.bfloat16)
-                if np.asarray(x).dtype == np.float32 else np.asarray(x), dev),
-            tree)
+        def leaf(x):
+            if isinstance(x, jax.Array):      # already device-resident
+                return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+            a = np.asarray(x)
+            return a.astype(jnp.bfloat16) if a.dtype == np.float32 else a
+        return jax.device_put(jax.tree_util.tree_map(leaf, tree), dev)
 
     tcfg = dc.replace(clip_vit_h14(), dtype=jnp.bfloat16)
     text = CLIPTextModel(tcfg)
@@ -237,13 +237,16 @@ def build_full_vd(tokenizer=None, rng=None) -> TextToVideoSDPipeline:
     vcfg = dc.replace(vae_sd(), dtype=jnp.bfloat16)
     vae = AutoencoderKL(vcfg)
     from spider_tpu.models.factory import random_params_like
-    with jax.default_device(cpu):
-        tparams = random_params_like(text, rng, jnp.zeros((1, 77), jnp.int32))
-        uparams = random_params_like(
-            unet, rng, jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16),
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.bfloat16))
-        vparams = random_params_like(vae, rng, jnp.zeros((1, 64, 64, 3)))
+    bf = jnp.bfloat16   # on-device bf16 pools: zero host->device traffic
+    tparams = random_params_like(text, rng, jnp.zeros((1, 77), jnp.int32),
+                                 dtype=bf, on_device=True)
+    uparams = random_params_like(
+        unet, rng, jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.bfloat16),
+        dtype=bf, on_device=True)
+    vparams = random_params_like(vae, rng, jnp.zeros((1, 64, 64, 3)),
+                                 dtype=bf, on_device=True)
     tparams, uparams, vparams = map(to_dev_bf16, (tparams, uparams, vparams))
     return TextToVideoSDPipeline(tokenizer, text, tparams, unet, uparams,
                                  vae, vparams)

@@ -113,14 +113,28 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+# Spatial-attention routing override for on-chip A/Bs (tools/ab_spatial.py):
+# "auto" = the measured heuristic below; "flash"/"einsum" force one path.
+_SPATIAL_FLASH = ContextVar("spatial_flash", default="auto")
+
+
+@contextlib.contextmanager
+def spatial_flash_config(mode: str):
+    tok = _SPATIAL_FLASH.set(mode)
+    try:
+        yield
+    finally:
+        _SPATIAL_FLASH.reset(tok)
+
+
 def _attention(q, k, v, heads: int):
     """Softmax attention on [B, T, C] projections.
 
     On TPU with long sequences this routes through the Pallas flash kernel
-    with the head dim zero-padded to 128 (padding is exact: padded dims
-    contribute nothing to q.k dots and the padded outputs are dropped) —
-    avoiding the O(T*S) fp32 logits an einsum+softmax materializes, which is
-    what bounds full-size SDXL/story batches in HBM.
+    with the head dim zero-padded to a multiple of 64 (padding is exact:
+    padded dims contribute nothing to q.k dots and the padded outputs are
+    dropped) — avoiding the O(T*S) fp32 logits an einsum+softmax
+    materializes, which is what bounds full-size SDXL/story batches in HBM.
     """
     B, T, C = q.shape
     S = k.shape[1]
@@ -134,24 +148,30 @@ def _attention(q, k, v, heads: int):
     # than the multi-GB fp32 logits the einsum would spill.
     logits_bytes = 4 * B * heads * T * S
     # Routing, all measured on chip:
-    #  * D < 64 pads >2x into the kernel's 128-lane head dim, so at MODERATE
-    #    T the einsum wins — XLA flash-fuses it without materializing logits
-    #    (ZeroScope's D=40 T=2880 level: 14.3 s/request einsum vs 17.1 flash).
+    #  * D < 64 pads into the kernel's 64-lane-multiple head dim, so at
+    #    MODERATE T the einsum wins — XLA flash-fuses it without
+    #    materializing logits (ZeroScope's D=40 T=2880 level: the r4
+    #    128-pad A/B measured 14.3 s/request einsum vs 17.1 flash; the
+    #    64-pad re-match runs via tools/ab_spatial.py).
     #  * But at T >= 4096 XLA's fusion gives up and materializes fp32
     #    logits (AudioLDM's D=16 T=8192 level: 5 x 438 ms fusions writing
-    #    f32[2,8,8192,8192] = 2.2 s of a 2.3 s call) — padded flash is ~40x
-    #    cheaper there despite the 8x head-dim padding.
+    #    f32[2,8,8192,8192] = 2.2 s of a 2.3 s call) — padded flash is far
+    #    cheaper there even at 4x head-dim padding (16 -> 64).
+    mode = _SPATIAL_FLASH.get()
     use_flash = (jax.default_backend() == "tpu" and D <= 128
                  and (T >= 4096
                       or (D >= 64 and logits_bytes > 512 * 1024 * 1024)))
+    if mode != "auto":
+        use_flash = mode == "flash" and jax.default_backend() == "tpu"
     if use_flash:
         from spider_tpu.ops.attention import flash_attention
 
         qh = q.reshape(B, T, heads, D)
         kh = k.reshape(B, S, heads, D)
         vh = v.reshape(B, S, heads, D)
-        if D < 128:
-            pad = [(0, 0)] * 3 + [(0, 128 - D)]
+        Dp = -(-D // 64) * 64
+        if D != Dp:
+            pad = [(0, 0)] * 3 + [(0, Dp - D)]
             qh = jnp.pad(qh, pad)
             kh = jnp.pad(kh, pad)
             vh = jnp.pad(vh, pad)
