@@ -111,7 +111,13 @@ def stage_decode():
     model = L.LlamaForCausalLM(cfg)
     rng = jax.random.PRNGKey(0)
     ids = jnp.ones((1, PROMPT_LEN), jnp.int32)
-    params = model.init(rng, ids[:, :8])
+    # on-device pool init instead of flax init: the 8B initializer program
+    # is the slowest part of this stage's setup, and weight VALUES don't
+    # change the per-step math (weight-only int8; MXU cost is
+    # data-independent).
+    from spider_tpu.models.factory import random_params_like
+
+    params = random_params_like(model, rng, ids[:, :8], on_device=True)
     gen = make_generate_fn(model, GenerateConfig(max_new_tokens=NEW_TOKENS,
                                                  temperature=0.0))
     embeds = model.apply(params, ids, method=model.embed)
@@ -176,7 +182,12 @@ def stage_video_shard():
 
 
 A100_STAGE_S = {"decode": 3.0, "image": 1.6, "audio": 2.5, "video": 14.0}
-STAGE_ORDER = ("decode", "image", "audio", "video")
+# Order by reference-stage share (video 14 s > decode 3 > audio 2.5 >
+# image 1.6): stage setup through the axon relay has minutes-level
+# VARIANCE (decode setup measured 65 s and 363 s on back-to-back warm
+# runs), so when the budget dies early the PARTIAL line should already
+# carry the stages that dominate the request.
+STAGE_ORDER = ("video", "decode", "audio", "image")
 
 
 def _emit(obj):
