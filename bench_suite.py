@@ -218,28 +218,17 @@ def bench_video_shard(n_steps: int = 40):
                                           unet3d_zeroscope)
     from spider_tpu.models.vae import AutoencoderKL, vae_sd
 
-    cpu = jax.devices("cpu")[0]
-    dev = jax.devices()[0]
-
-    def to_dev_bf16(tree):
-        return jax.tree_util.tree_map(
-            lambda a: jax.device_put(
-                np.asarray(a, np.float32).astype(jnp.bfloat16)
-                if np.asarray(a).dtype == np.float32 else np.asarray(a),
-                dev), tree)
-
     ucfg = dc.replace(unet3d_zeroscope(), dtype=jnp.bfloat16)
     unet = UNet3DConditionModel(ucfg)
     x = jnp.zeros((1, 4, 40, 72, 4), jnp.bfloat16)
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 77, 1024), jnp.bfloat16)
-    with jax.default_device(cpu):
-        uparams = random_params_like(
-            unet, jax.random.PRNGKey(0),
-            jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16),
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, 1024), jnp.bfloat16))
-    uparams = to_dev_bf16(uparams)
+    uparams = random_params_like(
+        unet, jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 1024), jnp.bfloat16),
+        dtype=jnp.bfloat16, on_device=True)
 
     @jax.jit
     def step(p, x):
@@ -260,10 +249,9 @@ def bench_video_shard(n_steps: int = 40):
     # VAE share: 2 of the 16 frames decode on this device
     vcfg = dc.replace(vae_sd(), dtype=jnp.bfloat16)
     vae = AutoencoderKL(vcfg)
-    with jax.default_device(cpu):
-        vparams = random_params_like(vae, jax.random.PRNGKey(1),
-                                     jnp.zeros((1, 64, 64, 3)))
-    vparams = to_dev_bf16(vparams)
+    vparams = random_params_like(vae, jax.random.PRNGKey(1),
+                                 jnp.zeros((1, 64, 64, 3)),
+                                 dtype=jnp.bfloat16, on_device=True)
     lat = jnp.zeros((2, 40, 72, 4), jnp.float32)
     dec = jax.jit(lambda p, l: ((vae.apply(p, l, method=vae.decode)
                                  / 2 + 0.5).clip(0.0, 1.0) * 255.0)
@@ -531,9 +519,8 @@ def bench_detection():
     ids = jnp.zeros((1, dcfg.max_text_len), jnp.int32)
     mask = jnp.ones((1, dcfg.max_text_len), jnp.int32)
     from spider_tpu.models.factory import random_params_like
-    with jax.default_device(cpu):
-        dparams = random_params_like(dino, rng, im, ids, mask)
-    dparams = to_dev_bf16(dparams)
+    dparams = random_params_like(dino, rng, im, ids, mask,
+                                 dtype=jnp.bfloat16, on_device=True)
     infer = GroundingDINOInference(dino, dparams, TinyTokenizer())
     image = np.zeros((480, 640, 3), np.uint8)
     infer(image, "an apple")  # warm/compile
@@ -547,9 +534,8 @@ def bench_detection():
     sam = Sam(scfg)
     img1024 = jnp.zeros((1, 3, 1024, 1024), jnp.float32)
     boxes = jnp.asarray([[[100.0, 100.0, 400.0, 400.0]]])
-    with jax.default_device(cpu):
-        sparams = random_params_like(sam, rng, img1024, boxes=boxes)
-    sparams = to_dev_bf16(sparams)
+    sparams = random_params_like(sam, rng, img1024, boxes=boxes,
+                                 dtype=jnp.bfloat16, on_device=True)
     predict = jax.jit(lambda p, im, b: sam.apply(p, im, b,
                                                  method=sam.predict_box))
     m = predict(sparams, img1024, boxes)
@@ -602,17 +588,16 @@ def bench_story(n_steps: int = 50):
                 if x.dtype == jnp.float32 else np.asarray(x), tpu), tree)
 
     from spider_tpu.models.factory import random_params_like
-    with jax.default_device(cpu):
-        p1 = random_params_like(enc1, rng, jnp.zeros((1, 77), jnp.int32))
-        p2 = random_params_like(enc2, rng, jnp.zeros((1, 77), jnp.int32))
-        up = random_params_like(
-            unet, rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, 2048), jnp.bfloat16),
-            dict(text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
-                 time_ids=jnp.zeros((1, 6), jnp.float32)))
-        vp = random_params_like(vae, rng, jnp.zeros((1, 64, 64, 3)))
-    p1, p2, up, vp = map(to_dev_bf16, (p1, p2, up, vp))
+    kw = dict(dtype=jnp.bfloat16, on_device=True)
+    p1 = random_params_like(enc1, rng, jnp.zeros((1, 77), jnp.int32), **kw)
+    p2 = random_params_like(enc2, rng, jnp.zeros((1, 77), jnp.int32), **kw)
+    up = random_params_like(
+        unet, rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 2048), jnp.bfloat16),
+        dict(text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
+             time_ids=jnp.zeros((1, 6), jnp.float32)), **kw)
+    vp = random_params_like(vae, rng, jnp.zeros((1, 64, 64, 3)), **kw)
     pipe = StoryXLPipeline(tok, tok, enc1, p1, enc2, p2, unet, up, vae, vp,
                            height=768, width=768)
     prompts = ["in a forest", "by a river", "at night", "coming home"]

@@ -150,9 +150,11 @@ def _attention(q, k, v, heads: int):
     # Routing, all measured on chip:
     #  * D < 64 pads into the kernel's 64-lane-multiple head dim, so at
     #    MODERATE T the einsum wins — XLA flash-fuses it without
-    #    materializing logits (ZeroScope's D=40 T=2880 level: the r4
-    #    128-pad A/B measured 14.3 s/request einsum vs 17.1 flash; the
-    #    64-pad re-match runs via tools/ab_spatial.py).
+    #    materializing logits. ZeroScope's D=40 T=2880 level, measured at
+    #    the full UNet3D CFG step (tools/ab_spatial.py): einsum
+    #    298.6 ms/step vs 64-pad flash 400.6 (the r4 128-pad A/B lost by
+    #    a similar margin at 14.3 vs 17.1 s/request) — the fused einsum
+    #    stays the D<64 moderate-T winner.
     #  * But at T >= 4096 XLA's fusion gives up and materializes fp32
     #    logits (AudioLDM's D=16 T=8192 level: 5 x 438 ms fusions writing
     #    f32[2,8,8192,8192] = 2.2 s of a 2.3 s call) — padded flash is far

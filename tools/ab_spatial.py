@@ -7,7 +7,11 @@ the match at the full UNet3D CFG step (VERDICT r4 next-step #4).
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ab_spatial.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

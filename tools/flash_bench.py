@@ -13,7 +13,11 @@ kernels.
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/flash_bench.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
