@@ -69,9 +69,13 @@ class TarShardSource:
     ResampledShards -> tarfile_to_samples -> shuffle(1000) pipeline
     (cf. t2i_ts_cc_sbu.py:13-21) without the webdataset dependency."""
 
+    # members always decoded regardless of decode_exts (cheap metadata)
+    _META_EXTS = ("txt", "text", "caption", "json", "npy", "sample_rate")
+
     def __init__(self, pattern: str, shuffle_buffer: int = 1000,
                  seed: int = 0, resample: bool = True,
-                 native: str = "auto"):
+                 native: str = "auto",
+                 decode_exts: Optional[Sequence[str]] = None):
         self.shards = sorted(glob.glob(pattern)) if isinstance(pattern, str) \
             else list(pattern)
         if not self.shards:
@@ -79,6 +83,13 @@ class TarShardSource:
         self.shuffle_buffer = shuffle_buffer
         self.seed = seed
         self.resample = resample
+        # decode_exts: when set, only members with these extensions (plus
+        # cheap metadata members) are decoded — a video builder must not pay
+        # a full FLAC decode per sample for audio members it never reads
+        # (measured: 0.13 s/member through the pure-Python decoder, which
+        # multiplied by the shuffle buffer dominated the ingest wall).
+        self.decode_exts = None if decode_exts is None else {
+            e.lower().lstrip(".") for e in decode_exts}
         # native='auto': the C++ threaded reader (native/tarreader.cpp) runs
         # the tar walk + byte prefetch off the GIL when its .so builds;
         # 'never' forces pure Python (and SPIDER_NATIVE_TAR=0 disables
@@ -87,6 +98,13 @@ class TarShardSource:
         self.native = native
         if os.environ.get("SPIDER_NATIVE_TAR", "1") == "0":
             self.native = "never"
+
+    def _wanted(self, ext: str) -> bool:
+        if self.decode_exts is None:
+            return True
+        parts = ext.lower().split(".")
+        return any(p in self.decode_exts or p in self._META_EXTS
+                   for p in parts)
 
     def _native_reader(self, shards: List[str]):
         """Best-effort native byte source; None if the .so can't build."""
@@ -108,6 +126,8 @@ class TarShardSource:
                 sample: Dict[str, Any] = {}
                 key = raw.pop("__key__", "")
                 for ext, data in raw.items():
+                    if not self._wanted(ext):
+                        continue
                     decoded = _decode_member(f"{key}.{ext}", data)
                     if decoded is not None:
                         _store_member(sample, key, ext, decoded)
@@ -133,6 +153,8 @@ class TarShardSource:
                     yield sample
                     sample = {}
                 current_key = key
+                if not self._wanted(ext):
+                    continue
                 data = tf.extractfile(member).read()
                 decoded = _decode_member(base, data)
                 if decoded is not None:

@@ -98,9 +98,22 @@ def _prep_modality(raw: Dict, modality: str, build_info: Dict):
     raise KeyError(modality)
 
 
+# per-modality member extensions a builder actually consumes: other members
+# in mixed shards are skipped before decode (a video builder must not pay a
+# FLAC decode per sample).
+_MODALITY_EXTS = {
+    "IMAGE": ("jpg", "jpeg", "png", "webp"),
+    "VIDEO": ("mp4", "avi", "mov", "webm", "mkv", "jpg"),
+    "AUDIO": ("flac", "wav", "mp3", "ogg"),
+}
+
+
 def _source(build_info: Dict, modality: str, seed: int):
     if build_info.get("webdataset_path"):
-        return backends.TarShardSource(build_info["webdataset_path"], seed=seed)
+        return backends.TarShardSource(
+            build_info["webdataset_path"], seed=seed,
+            shuffle_buffer=build_info.get("shuffle_buffer", 1000),
+            decode_exts=_MODALITY_EXTS.get(modality))
     size = build_info.get("synthetic_size", 64)
     if modality == "IMAGE":
         return backends.SyntheticImageText(size=size, seed=seed)

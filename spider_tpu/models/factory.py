@@ -449,10 +449,10 @@ def _seed_from_key(rng) -> int:
     except TypeError:
         kd = rng                           # legacy raw uint32 [2] keys
     kd = _np.asarray(kd).ravel().astype(_np.uint64)
-    mix = _np.uint64(0)
-    for i, v in enumerate(kd):
-        mix ^= v * _np.uint64(0x9E3779B97F4A7C15) + _np.uint64(i)
-    return int(mix % _np.uint64(2**31 - 1))
+    mix = 0
+    for i, v in enumerate(kd):           # python ints: explicit mod-2^64
+        mix ^= (int(v) * 0x9E3779B97F4A7C15 + i) & (2**64 - 1)
+    return mix % (2**31 - 1)
 
 
 # Params that are multiplicative scales MUST init ~1 (flax Layer/Group

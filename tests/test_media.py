@@ -115,20 +115,26 @@ def test_real_media_through_builders(tmp_path):
     shard = str(tmp_path / "shard-000.tar")
     _write_fixture_tar(shard)
 
+    # small shuffle buffer: the default 1000 would decode the 3-sample
+    # fixture ~333x over before yielding (each draw pays a real mp4/flac
+    # decode — production absorbs this with prefetch workers)
     cfg = {"build_info": {"webdataset_path": shard, "num_clips": 2,
-                          "image_size": 32}}
+                          "image_size": 32, "shuffle_buffer": 4}}
     ds = registry.get_builder_class("t2v_webvid")(cfg).build_datasets()
     sample = next(iter(ds))
     vid = sample["VIDEO"]
     assert vid.shape == (2, 3, 2, 32, 32)  # [clips, C, F, H, W]
     assert np.isfinite(vid).all() and sample["TaskPrompt"] == "[VIDEO]"
+    # ext filtering: the video builder must not have paid the FLAC decode
+    assert "flac" not in sample
 
-    cfg = {"build_info": {"webdataset_path": shard}}
+    cfg = {"build_info": {"webdataset_path": shard, "shuffle_buffer": 4}}
     ds = registry.get_builder_class("t2a_audiocap")(cfg).build_datasets()
     sample = next(iter(ds))
     aud = sample["AUDIO"]
     assert aud.shape == (3, 1, 128, 204)  # [clips, 1, mels, T]
     assert np.isfinite(aud).all() and sample["TaskPrompt"] == "[AUDIO]"
+    assert "mp4" not in sample
 
 
 def test_reshard_predecoded_roundtrip(tmp_path):
