@@ -22,9 +22,9 @@ import pytest
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "convert_keys")
 
 # Cheap families run in the default tier; the deep towers are slow-marked.
-FAST = ("clip_vit_l14", "bert_base", "clap_text", "vae_sd", "vae_audioldm",
+FAST = ("clip_vit_l14", "bert_base", "clap_text", "vae_audioldm",
         "llama3_8b", "photomaker_v1")
-SLOW = ("clip_vit_h14", "clip_bigg", "unet_sd15", "unet_sdxl",
+SLOW = ("vae_sd", "clip_vit_h14", "clip_bigg", "unet_sd15", "unet_sdxl",
         "unet_audioldm", "unet3d_zeroscope", "sam_vit_h", "imagebind_huge",
         "grounding_dino_swin_t", "swin_t", "hifigan_audioldm",
         "omni_audio_tower", "omni_vision_tower", "omni_talker", "omni_dit",

@@ -108,7 +108,8 @@ def test_vae_roundtrip_shapes():
     assert rec.shape == x.shape
 
 
-def test_unet_shapes_and_story_kv():
+@pytest.mark.slow  # 30s (3 jit variants); sdxl_added_cond keeps UNet2D
+def test_unet_shapes_and_story_kv():  # coverage; bank merge: test_story.py
     cfg = unet_tiny()
     unet = UNet2DConditionModel(cfg)
     x = jnp.zeros((2, 8, 8, 4))

@@ -76,7 +76,8 @@ def dino():
     return cfg, model, params
 
 
-def test_grounding_dino_forward(dino):
+@pytest.mark.slow  # 65s module fixture; msda/bert fast tests + the driver
+def test_grounding_dino_forward(dino):  # dryrun keep default-tier coverage
     cfg, model, params = dino
     images = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 64, 64))
     ids = jnp.ones((1, cfg.max_text_len), jnp.int32)

@@ -259,6 +259,7 @@ def test_prompt_lookup_propose():
     assert propose([4, 4], 2, 3, 0) == [4, 0]  # 1-gram fallback
 
 
+@pytest.mark.slow  # 27s; draft-source stream invariance is the fast gate
 def test_speculative_ondevice_matches_host_loop():
     """The single-dispatch while_loop form commits the exact same stream
     as the host-driven speculative loop (which itself equals stepped

@@ -26,7 +26,8 @@ def test_chat_with_speech_tiny():
         assert wav.size % 4 == 0
 
 
-def test_chat_with_speech_deterministic():
+@pytest.mark.slow  # 33s; speak-eos unit test + golden_verify --omni cover
+def test_chat_with_speech_deterministic():  # the chain in the default tier
     pipe = build_tiny_omni_speech()
     kw = dict(max_speech_tokens=4, num_flow_steps=2,
               rng=jax.random.PRNGKey(3))

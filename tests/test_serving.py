@@ -437,7 +437,8 @@ def test_stage_orchestrator_concurrent_dispatch():
     assert set(stage_done) == {"IMAGE", "AUDIO"}
 
 
-def test_llama_chat_fn_speculative_matches_plain(decoder_cfg):
+@pytest.mark.slow  # 28s; stream invariance held by the default-tier
+def test_llama_chat_fn_speculative_matches_plain(decoder_cfg):  # draft-source test
     """make_llama_chat_fn(speculative=True) returns the same text as the
     plain greedy path."""
     from spider_tpu.models import llama as L

@@ -41,6 +41,7 @@ def test_sharded_denoise_matches_single_device(pipe, mesh):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # 25s; __graft_entry__.dryrun_multichip runs this path
 def test_sharded_call_end_to_end(pipe, mesh):
     frames = pipe(prompt=["a dog"], num_inference_steps=2, height=16,
                   width=16, num_frames=8, mesh=mesh)
