@@ -45,9 +45,15 @@ tail — see VERDICT.md r4 Weak #1):
   * a cumulative {"metric", "value", "unit", "vs_baseline", "stages_s"}
     line is re-emitted (flushed) after EVERY completed stage, so the last
     stdout line is parseable no matter when an external timeout kills us;
-  * TOTAL wall is capped (SPIDER_BENCH_BUDGET_S, default 540 s): stages
+  * TOTAL wall is capped (SPIDER_BENCH_BUDGET_S, default 1500 s): stages
     that don't fit the remaining budget are skipped with an explanatory
-    field instead of blowing the driver budget;
+    field. The cap is a SELF-limit for tidy exits only — the per-stage
+    cumulative lines above mean an external kill at ANY instant still
+    leaves a parseable tail, so the default errs long: relay-side compile
+    caching is erratic (measured 2026-08-20: the UNet3D denoise recompiled
+    285-600 s in consecutive runs despite a warm local cache — the axon
+    remote-compile cache, not ours, decides warmth), and self-capping at
+    540 s wasted driver budget whenever the driver allowed more;
   * stage stderr goes to files under output/bench_logs/ (NOT the driver
     tail — round-4's tail was flooded by XLA:CPU AOT mismatch spam);
   * the compile cache is keyed by a machine fingerprint
@@ -75,7 +81,7 @@ PROMPT_LEN = 128
 NEW_TOKENS = 150
 STEPS = 40
 
-BUDGET_S = float(os.environ.get("SPIDER_BENCH_BUDGET_S", "540"))
+BUDGET_S = float(os.environ.get("SPIDER_BENCH_BUDGET_S", "1500"))
 # Skip a stage rather than start it with less than this much wall left:
 # TPU client init through the axon tunnel alone is ~15-30 s.
 MIN_STAGE_S = float(os.environ.get("SPIDER_BENCH_MIN_STAGE_S", "60"))
@@ -341,7 +347,11 @@ def main():
             skipped[name] = f"budget exhausted ({left:.0f}s left)"
             continue
         try:
-            stages[name] = _run_stage_subprocess(name, timeout_s=left)
+            # Per-stage slice cap: one relay-degraded compile (image once
+            # took 1586 s) must not starve every later stage. 650 s covers
+            # the worst NORMAL cold compile observed (video ~600 s).
+            stages[name] = _run_stage_subprocess(
+                name, timeout_s=min(left, 650.0))
         except Exception as e:  # noqa: BLE001
             skipped[name] = str(e)[-300:]
             _emit({"stage": name, "error": str(e)[-300:]})
