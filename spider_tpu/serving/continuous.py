@@ -5,6 +5,17 @@ joining — the upgrade over the wave batcher in serving/batcher.py).
 
 Decode is HBM-bound on weights, so keeping the slot pool busy multiplies
 tokens/s/chip (bench_suite: 87 -> 335 tok/s at 8 concurrent).
+
+Admission is ASYNC (prefill/decode overlap): `_admit` dispatches the
+prefill + KV splice and records the first token as an unresolved device
+array — no host sync. The decode chunk for the already-running slots is
+dispatched right behind it, so through the ~30 ms/dispatch axon relay the
+device runs prefill -> decode back-to-back while the host never blocks
+until the tick's single chunk sync, where pending first tokens resolve in
+one batched device_get (before the chunk tokens, preserving stream order
+and greedy parity — tests/test_serving.py parity cases cover admission
+ticks). Page growth planning reads a host mirror of kv_len so `_pre_step`
+cannot force an early sync.
 """
 
 from __future__ import annotations
@@ -13,7 +24,7 @@ import dataclasses
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +72,11 @@ class ContinuousBatcher:
         self.last_tok = jnp.zeros((num_slots,), jnp.int32)
         self.active = np.zeros((num_slots,), bool)       # host-side
         self.budget = np.zeros((num_slots,), np.int64)
+        # host mirror of kv_len (admission sets it exactly; refreshed at
+        # each tick's chunk sync) — page planning must not sync the device
+        self._kv_len_host = np.zeros((num_slots,), np.int64)
+        # (request, device first-token) pairs awaiting the tick's one sync
+        self._pending_tok0: List[Tuple[_Request, Any]] = []
 
         self._requests: Dict[int, _Request] = {}
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -164,11 +180,12 @@ class ContinuousBatcher:
             cv, sv.astype(cv.dtype), (0, slot, 0, 0, 0))
         self.cache = (ck, cv)
         self.kv_len = self.kv_len.at[slot].set(len(ids))
-        self.last_tok = self.last_tok.at[slot].set(int(tok0[0]))
+        self._kv_len_host[slot] = len(ids)
+        self.last_tok = self.last_tok.at[slot].set(tok0[0])  # device-side
         self.active[slot] = True
         req.slot = slot
-        req.emitted.append(int(tok0[0]))
-        self.budget[slot] = self._remaining(req)
+        self._pending_tok0.append((req, tok0))   # resolved at the tick sync
+        self.budget[slot] = self._remaining(req) - 1   # -1: pending tok0
         self._requests[slot] = req
 
     def _finish(self, slot: int):
@@ -258,8 +275,19 @@ class ContinuousBatcher:
         mask = jnp.asarray(self.active)
         self.cache, self.kv_len, self.last_tok, chunk = self._step(mask)
         toks = np.asarray(chunk)                       # [S, decode_steps]
+        # THE tick sync just happened — resolve admission first tokens in
+        # one batched pull (they precede this tick's chunk in the stream)
+        # and refresh the kv_len mirror for the next page-growth plan.
+        if self._pending_tok0:
+            vals = jax.device_get([t for _, t in self._pending_tok0])
+            for (req, _), v in zip(self._pending_tok0, vals):
+                req.emitted.append(int(v[0]))
+            self._pending_tok0.clear()
+        self._kv_len_host = np.array(self.kv_len, np.int64)  # writable copy
         for slot in np.where(self.active)[0]:
             req = self._requests[slot]
+            if req.emitted and req.emitted[-1] == eos:
+                continue   # first token was already eos; chunk is over-decode
             for t in toks[slot]:
                 if self.budget[slot] <= 0:
                     break                              # over-decode discarded
@@ -402,6 +430,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
         on pool exhaustion instead of killing the serving loop."""
         self.n_preempts += 1
         req = self._requests.pop(slot)
+        # a same-tick admit may still have its first token in flight: drop
+        # it — the continuation re-prefills from the same ids, and greedy
+        # regenerates the identical token (budget is recomputed on admit)
+        self._pending_tok0 = [(r, t) for (r, t) in self._pending_tok0
+                              if r is not req]
         n = int(self._n_alloc[slot])
         self._free.extend(int(b) for b in self._table[slot, :n])
         self._table[slot, :] = 0
@@ -432,11 +465,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
                                        jnp.asarray(blocks),
                                        jnp.asarray(n_pages))
         self.kv_len = self.kv_len.at[slot].set(len(ids))
-        self.last_tok = self.last_tok.at[slot].set(int(tok0[0]))
+        self._kv_len_host[slot] = len(ids)
+        self.last_tok = self.last_tok.at[slot].set(tok0[0])  # device-side
         self.active[slot] = True
         req.slot = slot
-        req.emitted.append(int(tok0[0]))
-        self.budget[slot] = self._remaining(req)
+        self._pending_tok0.append((req, tok0))   # resolved at the tick sync
+        self.budget[slot] = self._remaining(req) - 1   # -1: pending tok0
         self._requests[slot] = req
 
     def _finish(self, slot: int):
@@ -457,7 +491,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # most pages) — the evicted request re-prefills later as a
         # continuation. A slot only self-preempts when infeasible, which
         # admission (_feasible) already rejects.
-        lens = np.asarray(self.kv_len)
+        lens = self._kv_len_host   # host mirror: planning must not sync
         for slot in np.where(self.active)[0]:
             if not self.active[slot]:   # already preempted as a victim
                 continue
